@@ -1,0 +1,467 @@
+"""Device-side vectorized arithmetic in the 128-bit field M = 2^128 - 45*2^40 + 1.
+
+TPU-native representation: a field element is four little-endian uint32 limbs
+stored in the trailing axis of a ``jnp.uint32`` array of shape ``(..., 4)``.
+TPUs have no native 64-bit integer multiply, so multiplication decomposes each
+element into eight 16-bit half-words; 16x16->32-bit partial products are exact
+in uint32 lanes and accumulate without overflow (column sums stay < 2^21).
+
+Reduction exploits the modulus shape: 2^128 = R (mod M) with R = 45*2^40 - 1,
+so folding the high 128 bits is one multiply-by-45, a 40-bit shift, and a
+subtraction - three cheap vectorized passes (the same folding idea as the
+reference's scalar mul_reduce, reference src/math/field.rs:38-73, re-derived
+for 16-bit lanes).
+
+Everything here is jit-compatible pure functions: the building blocks for the
+NTT/LDE, constraint evaluation, DEEP composition, and FRI device pipelines.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import field as hostfield
+
+M = hostfield.M
+G = hostfield.G
+
+_U32 = jnp.uint32
+_MASK16 = jnp.uint32(0xFFFF)
+
+# M as 8 halfwords (little-endian 16-bit chunks)
+M_HALFWORDS = tuple((M >> (16 * k)) & 0xFFFF for k in range(8))
+# R = 2^128 mod M = 45*2^40 - 1 as 3 halfwords
+R_HALFWORDS = tuple(((45 * 2**40 - 1) >> (16 * k)) & 0xFFFF for k in range(3))
+
+
+# ------------------------------------------------------------------------------------------------
+# conversions
+# ------------------------------------------------------------------------------------------------
+
+def from_ints(values):
+    """Python ints / numpy object array -> (..., 4) uint32 limb array."""
+    arr = np.asarray(values, dtype=object)
+    out = np.empty(arr.shape + (4,), dtype=np.uint32)
+    flat = arr.reshape(-1)
+    oflat = out.reshape(-1, 4)
+    for i, v in enumerate(flat):
+        v = int(v)
+        oflat[i, 0] = v & 0xFFFFFFFF
+        oflat[i, 1] = (v >> 32) & 0xFFFFFFFF
+        oflat[i, 2] = (v >> 64) & 0xFFFFFFFF
+        oflat[i, 3] = (v >> 96) & 0xFFFFFFFF
+    return jnp.asarray(out)
+
+
+def to_ints(limbs):
+    """(..., 4) uint32 limb array -> numpy object array of Python ints."""
+    arr = np.asarray(limbs)
+    flat = arr.reshape(-1, 4)
+    out = np.empty(flat.shape[0], dtype=object)
+    for i in range(flat.shape[0]):
+        out[i] = (
+            int(flat[i, 0])
+            | (int(flat[i, 1]) << 32)
+            | (int(flat[i, 2]) << 64)
+            | (int(flat[i, 3]) << 96)
+        )
+    return out.reshape(arr.shape[:-1])
+
+
+def zeros(shape):
+    return jnp.zeros(tuple(shape) + (4,), dtype=_U32)
+
+
+def full(shape, value):
+    limbs = [(int(value) >> (32 * k)) & 0xFFFFFFFF for k in range(4)]
+    return jnp.broadcast_to(jnp.array(limbs, dtype=_U32), tuple(shape) + (4,))
+
+
+def constant(value):
+    return jnp.array([(int(value) >> (32 * k)) & 0xFFFFFFFF for k in range(4)], dtype=_U32)
+
+
+# ------------------------------------------------------------------------------------------------
+# addition / subtraction
+# ------------------------------------------------------------------------------------------------
+
+def _raw_add(a, b):
+    """4-limb add -> (sum limbs, carry-out in {0,1})."""
+    out = []
+    carry = jnp.zeros(a.shape[:-1], dtype=_U32)
+    for k in range(4):
+        t = a[..., k] + b[..., k]
+        c = (t < a[..., k]).astype(_U32)
+        t2 = t + carry
+        c = c + (t2 < t).astype(_U32)
+        out.append(t2)
+        carry = c
+    return jnp.stack(out, axis=-1), carry
+
+
+def _raw_sub(a, b):
+    """4-limb subtract -> (diff limbs, borrow-out in {0,1})."""
+    out = []
+    borrow = jnp.zeros(a.shape[:-1], dtype=_U32)
+    for k in range(4):
+        t = a[..., k] - b[..., k]
+        bo = (a[..., k] < b[..., k]).astype(_U32)
+        t2 = t - borrow
+        bo = bo + (t < borrow).astype(_U32)
+        out.append(t2)
+        borrow = bo
+    return jnp.stack(out, axis=-1), borrow
+
+
+_M_LIMBS_NP = np.array([(M >> (32 * k)) & 0xFFFFFFFF for k in range(4)], dtype=np.uint32)
+
+
+def _geq_m(a):
+    """a >= M, lexicographic over limbs (bool array)."""
+    m = jnp.asarray(_M_LIMBS_NP)
+    gt = jnp.zeros(a.shape[:-1], dtype=jnp.bool_)
+    eq = jnp.ones(a.shape[:-1], dtype=jnp.bool_)
+    for k in (3, 2, 1, 0):
+        gt = gt | (eq & (a[..., k] > m[k]))
+        eq = eq & (a[..., k] == m[k])
+    return gt | eq
+
+
+@jax.jit
+def add(a, b):
+    a, b = jnp.broadcast_arrays(a, b)
+    s, carry = _raw_add(a, b)
+    m = jnp.broadcast_to(jnp.asarray(_M_LIMBS_NP), s.shape)
+    d, _ = _raw_sub(s, m)
+    need = (carry > 0) | _geq_m(s)
+    return jnp.where(need[..., None], d, s)
+
+
+@jax.jit
+def sub(a, b):
+    a, b = jnp.broadcast_arrays(a, b)
+    d, borrow = _raw_sub(a, b)
+    m = jnp.broadcast_to(jnp.asarray(_M_LIMBS_NP), d.shape)
+    d2, _ = _raw_add(d, m)
+    return jnp.where((borrow > 0)[..., None], d2, d)
+
+
+def neg(a):
+    return sub(zeros(a.shape[:-1]), a)
+
+
+# ------------------------------------------------------------------------------------------------
+# multiplication
+# ------------------------------------------------------------------------------------------------
+
+def _to_halfwords(a):
+    """(..., 4) u32 limbs -> list of 8 (...,) u32 arrays holding 16-bit values."""
+    out = []
+    for k in range(4):
+        out.append(a[..., k] & _MASK16)
+        out.append(a[..., k] >> 16)
+    return out
+
+
+def _from_halfwords(h):
+    """list of 8 halfword arrays -> (..., 4) u32 limbs."""
+    limbs = [h[2 * k] | (h[2 * k + 1] << 16) for k in range(4)]
+    return jnp.stack(limbs, axis=-1)
+
+
+def _carry_normalize(cols, out_len):
+    """Propagate carries so each output halfword is < 2^16."""
+    out = []
+    carry = jnp.zeros_like(cols[0])
+    for k in range(out_len):
+        v = (cols[k] if k < len(cols) else jnp.zeros_like(carry)) + carry
+        out.append(v & _MASK16)
+        carry = v >> 16
+    return out, carry
+
+
+def _borrow_sub_halfwords(a, b):
+    """Halfword-wise a - b with borrow chain; values must satisfy a >= b.
+    Inputs are lists of (...,) u32 arrays each < 2^16."""
+    n = len(a)
+    out = []
+    borrow = jnp.zeros_like(a[0])
+    for k in range(n):
+        bk = b[k] if k < len(b) else jnp.zeros_like(borrow)
+        t = a[k] + jnp.uint32(0x10000) - bk - borrow
+        out.append(t & _MASK16)
+        borrow = jnp.uint32(1) - (t >> 16)
+    return out, borrow
+
+
+def _mul_by_r(h):
+    """x * (45*2^40 - 1) for x given as 8 halfwords; returns 11 halfwords."""
+    # y = x * 45 (each product < 45 * 2^16 < 2^22)
+    y, carry = _carry_normalize([hk * jnp.uint32(45) for hk in h], 9)
+    # y <<= 8  (40-bit shift = 2 halfword slots + 8 bits)
+    y, carry = _carry_normalize([yk << 8 for yk in y], 9)
+    y = y + [carry]
+    z = [jnp.zeros_like(h[0]), jnp.zeros_like(h[0])] + y  # * 2^32 -> 12 halfwords
+    # subtract x
+    out, _ = _borrow_sub_halfwords(z, h)
+    return out
+
+
+def _add_halfwords(a, b, out_len):
+    cols = []
+    n = max(len(a), len(b), out_len)
+    for k in range(n):
+        ak = a[k] if k < len(a) else None
+        bk = b[k] if k < len(b) else None
+        if ak is None and bk is None:
+            cols.append(jnp.zeros_like(a[0]))
+        elif ak is None:
+            cols.append(bk)
+        elif bk is None:
+            cols.append(ak)
+        else:
+            cols.append(ak + bk)
+    out, carry = _carry_normalize(cols, out_len)
+    return out
+
+
+def _reduce_256(h):
+    """Reduce a 256-bit value (16 halfwords) mod M -> (..., 4) u32 limbs."""
+    lo, hi = h[:8], h[8:16]
+    # fold high 128 bits: p1 = hi * R + lo  (< 2^174 + 2^128 -> 12 halfwords)
+    p1 = _add_halfwords(_mul_by_r(hi), lo, 12)
+    # fold again: p2 = p1_hi * R + p1_lo  (p1_hi < 2^64 -> p2 < 2^128 + 2^110)
+    p2 = _add_halfwords(_mul_by_r(p1[8:12] + [jnp.zeros_like(h[0])] * 4), p1[:8], 9)
+    # last fold: bit 128 of p2 is 0 or 1
+    hi2 = p2[8]
+    r = [hi2 * jnp.uint32(w) for w in R_HALFWORDS]
+    p3 = _add_halfwords(r, p2[:8], 8)
+    # conditional subtract M
+    m = [jnp.full_like(h[0], w) for w in M_HALFWORDS]
+    d, borrow = _borrow_sub_halfwords(p3, m)
+    use_d = (borrow == 0)[..., None]
+    return jnp.where(use_d, _from_halfwords(d), _from_halfwords(p3))
+
+
+@jax.jit
+def mul(a, b):
+    a, b = jnp.broadcast_arrays(a, b)
+    ah = _to_halfwords(a)
+    bh = _to_halfwords(b)
+    cols = [None] * 16
+    for i in range(8):
+        for j in range(8):
+            p = ah[i] * bh[j]
+            plo = p & _MASK16
+            phi = p >> 16
+            cols[i + j] = plo if cols[i + j] is None else cols[i + j] + plo
+            k = i + j + 1
+            cols[k] = phi if cols[k] is None else cols[k] + phi
+    h, _ = _carry_normalize(cols, 16)
+    return _reduce_256(h)
+
+
+def sqr(a):
+    return mul(a, a)
+
+
+def cube(a):
+    return mul(sqr(a), a)
+
+
+def mul_scalar(a, c):
+    """Multiply array by a Python-int constant."""
+    return mul(a, jnp.broadcast_to(constant(c), a.shape))
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def exp_const(a, e):
+    """a ** e for a fixed Python-int exponent.
+
+    Implemented as a lax.scan over the exponent bits (one square + one
+    selected multiply per bit) so the compiled graph stays small even for
+    128-bit exponents like M-2 or INV_ALPHA.
+
+    Note: follows plain modular exponentiation (0^0 == 1); the reference's
+    exp(0, p) == 0 quirk only matters for scalar host paths.
+    """
+    e = int(e)
+    if e == 0:
+        return full(a.shape[:-1], 1)
+    if e == 1:
+        return a
+    if e == 2:
+        return sqr(a)
+    if e == 3:
+        return cube(a)
+    nbits = e.bit_length()
+    bits = jnp.array([(e >> k) & 1 for k in range(nbits)], dtype=jnp.bool_)
+
+    def body(carry, bit):
+        result, base = carry
+        with_mul = mul(result, base)
+        result = jnp.where(bit, with_mul, result)
+        base = sqr(base)
+        return (result, base), None
+
+    init = (full(a.shape[:-1], 1), a)
+    (result, _), _ = jax.lax.scan(body, init, bits)
+    return result
+
+
+# ------------------------------------------------------------------------------------------------
+# scans: batch inversion, cumulative products/sums, power series
+# ------------------------------------------------------------------------------------------------
+
+def _is_zero(a):
+    return (a[..., 0] | a[..., 1] | a[..., 2] | a[..., 3]) == 0
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def inv_batch(a, axis=0):
+    """Elementwise inverse via Fermat's little theorem: a^(M-2).
+
+    M-2 is odd, so zeros map to zero automatically (reference convention).
+    Fermat keeps the compiled graph compact (a single scanned multiply);
+    a Montgomery-trick Pallas kernel can replace this on the hot path later.
+    """
+    return exp_const(a, M - 2)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def cumsum(a, axis=0):
+    return jax.lax.associative_scan(add, a, axis=axis)
+
+
+def sum_reduce(a, axis=0):
+    """Modular sum along an axis (log-depth tree reduction)."""
+    n = a.shape[axis]
+    while n > 1:
+        half = n // 2
+        lo = jax.lax.slice_in_dim(a, 0, half, axis=axis)
+        hi = jax.lax.slice_in_dim(a, half, 2 * half, axis=axis)
+        s = add(lo, hi)
+        if n % 2 == 1:
+            rem = jax.lax.slice_in_dim(a, 2 * half, n, axis=axis)
+            s = jnp.concatenate([s, rem], axis=axis)
+        a = s
+        n = a.shape[axis]
+    return jnp.squeeze(a, axis=axis)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def power_series(x_int, n):
+    """[x^0, x^1, ..., x^(n-1)] as an (n, 4) device array: one scanned
+    selected-multiply per index bit, with x^(2^k) factors precomputed on host."""
+    bits = max((n - 1).bit_length(), 1)
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    p = int(x_int)
+    factors = []
+    for _ in range(bits):
+        factors.append([(p >> (32 * j)) & 0xFFFFFFFF for j in range(4)])
+        p = (p * p) % M
+    factors = jnp.array(factors, dtype=_U32)  # (bits, 4)
+    ks = jnp.arange(bits, dtype=jnp.uint32)
+
+    def body(result, xs):
+        factor, k = xs
+        use = ((idx >> k) & 1) == 1
+        stepped = mul(result, jnp.broadcast_to(factor, result.shape))
+        return jnp.where(use[:, None], stepped, result), None
+
+    result, _ = jax.lax.scan(body, full((n,), 1), (factors, ks))
+    return result
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def power_series_dev(x, n):
+    """[x^0 .. x^(n-1)] for a traced (4,) limb base x (scanned doublings)."""
+    bits = max((n - 1).bit_length(), 1)
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    ks = jnp.arange(bits, dtype=jnp.uint32)
+
+    def body(carry, k):
+        result, p = carry
+        use = ((idx >> k) & 1) == 1
+        stepped = mul(result, jnp.broadcast_to(p[None, :], result.shape))
+        result = jnp.where(use[:, None], stepped, result)
+        return (result, sqr(p)), None
+
+    (result, _), _ = jax.lax.scan(body, (full((n,), 1), x), ks)
+    return result
+
+
+def dot(a, b, axis=0):
+    """Modular inner product along an axis."""
+    return sum_reduce(mul(a, b), axis=axis)
+
+
+# ------------------------------------------------------------------------------------------------
+# NTT
+# ------------------------------------------------------------------------------------------------
+
+def _bitrev_indices(n):
+    """Bit-reversal permutation indices, vectorized on host."""
+    bits = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.uint64)
+    rev = np.zeros_like(idx)
+    for _ in range(bits):
+        rev = (rev << 1) | (idx & 1)
+        idx >>= 1
+    return rev.astype(np.int32)
+
+
+@jax.jit
+def _ntt_stages(values, tw):
+    """Constant-geometry (Pease) radix-2 DIF NTT stages.
+
+    Every stage performs the same data movement - butterfly pairs
+    (i, i + n/2), outputs interleaved to (2i, 2i+1) - so the whole transform
+    is a fori_loop over one compact butterfly body.  The stage-s twiddle for
+    pair i is W[i & ~(2^s - 1)]: the top-level power series with the low s
+    index bits cleared.  Output is bit-reversed; ntt() applies the final
+    un-permuting gather.  This shape maps directly onto TPU: contiguous
+    slices, one vector multiply per stage, no scatters.
+    """
+    n = values.shape[0]
+    levels = n.bit_length() - 1
+    pair_idx = jnp.arange(n // 2, dtype=jnp.uint32)
+
+    def body(s, x):
+        a = x[: n // 2]
+        b = x[n // 2 :]
+        w = tw[(pair_idx >> s) << s]
+        even = add(a, b)
+        odd = mul(sub(a, b), w)
+        return jnp.stack([even, odd], axis=1).reshape(n, 4)
+
+    return jax.lax.fori_loop(0, levels, body, values)
+
+
+def ntt(values, root_int=None):
+    """Evaluate: coefficients -> evaluations over the size-n root-of-unity
+    domain, natural order in and out."""
+    n = values.shape[0]
+    if n == 1:
+        return values
+    if root_int is None:
+        root_int = hostfield.get_root_of_unity(n)
+    tw = power_series(int(root_int), n // 2)
+    out = _ntt_stages(values, tw)
+    return out[jnp.asarray(_bitrev_indices(n))]
+
+
+def intt(values, root_int=None):
+    """Interpolate: evaluations -> coefficients, natural order in and out."""
+    n = values.shape[0]
+    if n == 1:
+        return values
+    if root_int is None:
+        root_int = hostfield.get_root_of_unity(n)
+    inv_root = pow(int(root_int), n - 1, M)
+    tw = power_series(inv_root, n // 2)
+    out = _ntt_stages(values, tw)[jnp.asarray(_bitrev_indices(n))]
+    inv_n = hostfield.inv(n)
+    return mul(out, jnp.broadcast_to(constant(inv_n), out.shape))

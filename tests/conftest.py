@@ -2,7 +2,16 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
 # exercised without TPU hardware; the real-chip path is covered by bench.py.
+# NOTE: the axon TPU plugin in this environment ignores JAX_PLATFORMS, so we
+# also pin the default device to CPU programmatically.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+except RuntimeError:
+    pass
