@@ -41,33 +41,18 @@ R_HALFWORDS = tuple(((45 * 2**40 - 1) >> (16 * k)) & 0xFFFF for k in range(3))
 # ------------------------------------------------------------------------------------------------
 
 def from_ints(values):
-    """Python ints / numpy object array -> (..., 4) uint32 limb array."""
+    """Python ints / numpy object array -> (..., 4) uint32 limb array.
+
+    Vectorized through numpy object arithmetic (C loops over PyInt ops)."""
     arr = np.asarray(values, dtype=object)
-    out = np.empty(arr.shape + (4,), dtype=np.uint32)
-    flat = arr.reshape(-1)
-    oflat = out.reshape(-1, 4)
-    for i, v in enumerate(flat):
-        v = int(v)
-        oflat[i, 0] = v & 0xFFFFFFFF
-        oflat[i, 1] = (v >> 32) & 0xFFFFFFFF
-        oflat[i, 2] = (v >> 64) & 0xFFFFFFFF
-        oflat[i, 3] = (v >> 96) & 0xFFFFFFFF
-    return jnp.asarray(out)
+    limbs = [((arr >> (32 * k)) & 0xFFFFFFFF).astype(np.uint32) for k in range(4)]
+    return jnp.asarray(np.stack(limbs, axis=-1))
 
 
 def to_ints(limbs):
     """(..., 4) uint32 limb array -> numpy object array of Python ints."""
-    arr = np.asarray(limbs)
-    flat = arr.reshape(-1, 4)
-    out = np.empty(flat.shape[0], dtype=object)
-    for i in range(flat.shape[0]):
-        out[i] = (
-            int(flat[i, 0])
-            | (int(flat[i, 1]) << 32)
-            | (int(flat[i, 2]) << 64)
-            | (int(flat[i, 3]) << 96)
-        )
-    return out.reshape(arr.shape[:-1])
+    arr = np.asarray(limbs).astype(object)
+    return arr[..., 0] | (arr[..., 1] << 32) | (arr[..., 2] << 64) | (arr[..., 3] << 96)
 
 
 def zeros(shape):

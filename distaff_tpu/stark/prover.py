@@ -1,0 +1,308 @@
+"""STARK prover: the 9-step pipeline (reference src/stark/prover.rs and
+src/stark/README.md), re-architected for the TPU:
+
+1. trace LDE           - device NTT per register
+2. trace Merkle tree   - batched leaf hashing of device rows
+3. constraint eval     - columnar sweep over the whole evaluation domain
+                         (replaces the reference's per-step scalar loop)
+4. constraint poly     - device iNTT + vectorized synthetic divisions
+5. constraint commit   - device NTT over the LDE domain + batched hashing
+6. DEEP composition    - computed pointwise in the evaluation domain with
+                         batched inversions (identical field values to the
+                         reference's coefficient-space construction, but no
+                         sequential synthetic division on the hot path)
+7. FRI                 - device radix-4 folds + host Merkle commitments
+8. PoW + queries       - batched grinding, StdRng-compatible sampling
+9. proof assembly      - host
+"""
+
+import logging
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..math import field
+from ..math import field_jax as fj
+from ..config import MAX_CONSTRAINT_DEGREE
+from ..crypto.merkle import MerkleTree
+from ..crypto.blake3 import blake3_batch
+from ..crypto import hashes
+from .trace_state import TraceState
+from .constraints.evaluator import Evaluator
+from . import utils, fri
+from .proof import StarkProof, DeepValues
+
+log = logging.getLogger(__name__)
+M = field.M
+
+
+def prove(trace, inputs, outputs, options):
+    # 1 ----- extend execution trace -------------------------------------------------------------
+    now = time.time()
+    trace.extend()
+    domain_size = trace.domain_size()
+    lde_root = field.get_root_of_unity(domain_size)
+    log.debug("Extended execution trace from %d to %d steps in %.0f ms",
+              trace.unextended_length(), domain_size, (time.time() - now) * 1000)
+
+    # 2 ----- commit to the extended trace -------------------------------------------------------
+    now = time.time()
+    trace_tree = trace.build_merkle_tree(options.hash_fn)
+    log.debug("Built trace Merkle tree in %.0f ms", (time.time() - now) * 1000)
+
+    # 3 ----- evaluate constraints over the evaluation domain ------------------------------------
+    now = time.time()
+    evaluator = Evaluator.from_trace(trace, trace_tree.root(), inputs, outputs)
+    i_evals, f_evals, t_evals = _evaluate_constraints_columnar(evaluator, trace)
+    log.debug("Evaluated %d constraints over domain of %d elements in %.0f ms",
+              evaluator.constraint_count(), evaluator.domain_size, (time.time() - now) * 1000)
+
+    # 4 ----- combine into the constraint polynomial ---------------------------------------------
+    now = time.time()
+    constraint_poly = _combine_constraint_polys(
+        evaluator, i_evals, f_evals, t_evals, trace.unextended_length())
+    log.debug("Combined constraint evaluations into a polynomial in %.0f ms",
+              (time.time() - now) * 1000)
+
+    # 5 ----- commit to constraint polynomial evaluations ----------------------------------------
+    now = time.time()
+    padded = jnp.zeros((domain_size, 4), dtype=jnp.uint32)
+    padded = padded.at[: constraint_poly.shape[0]].set(constraint_poly)
+    constraint_lde = fj.ntt(padded, lde_root)
+    constraint_tree = _build_constraint_tree(constraint_lde, options.hash_fn)
+    log.debug("Evaluated constraint polynomial and built constraint tree in %.0f ms",
+              (time.time() - now) * 1000)
+
+    # 6 ----- DEEP composition -------------------------------------------------------------------
+    now = time.time()
+    seed = constraint_tree.root()
+    z = utils.draw_z(seed)
+    cc = utils.CompositionCoefficients(seed)
+    composed, deep_values = _build_composition_evaluations(
+        trace, constraint_poly, constraint_lde, z, cc)
+    log.debug("Built composition evaluations over %d elements in %.0f ms",
+              domain_size, (time.time() - now) * 1000)
+
+    # 7 ----- FRI --------------------------------------------------------------------------------
+    now = time.time()
+    fri_trees, fri_values = fri.reduce(composed, lde_root, options)
+    log.debug("Computed %d FRI layers in %.0f ms", len(fri_trees), (time.time() - now) * 1000)
+
+    # 8 ----- proof of work + query positions ----------------------------------------------------
+    now = time.time()
+    fri_roots = b"".join(tree.root() for tree in fri_trees)
+    hash_fn = hashes.HASH_FUNCTIONS[options.hash_fn]
+    seed = hash_fn(fri_roots)
+    seed, pow_nonce = utils.find_pow_nonce(seed, options)
+    positions = utils.compute_query_positions(seed, domain_size, options)
+    log.debug("Determined %d query positions in %.0f ms",
+              len(positions), (time.time() - now) * 1000)
+
+    # 9 ----- proof object -----------------------------------------------------------------------
+    now = time.time()
+    fri_proof = fri.build_proof(fri_trees, fri_values, positions)
+    trace_evaluations = trace.get_register_values_at(positions)
+    constraint_positions = utils.map_trace_to_constraint_positions(positions)
+
+    proof = StarkProof(
+        trace_tree.root(),
+        trace_tree.prove_batch(positions),
+        trace_evaluations,
+        constraint_tree.root(),
+        constraint_tree.prove_batch(constraint_positions),
+        deep_values,
+        fri_proof,
+        pow_nonce,
+        trace.get_last_state().op_counter,
+        trace.ctx_depth,
+        trace.loop_depth,
+        trace.stack_depth,
+        options,
+    )
+    log.debug("Built proof object in %.0f ms", (time.time() - now) * 1000)
+    return proof
+
+
+# ------------------------------------------------------------------------------------------------
+# step 3: columnar constraint evaluation
+# ------------------------------------------------------------------------------------------------
+
+def _evaluate_constraints_columnar(evaluator, trace, debug_check=True):
+    stride = trace.extension_factor // MAX_CONSTRAINT_DEGREE
+    n_ev = evaluator.domain_size
+
+    columns = trace.lde_columns_host(stride)
+    current = TraceState.from_vec(
+        trace.ctx_depth, trace.loop_depth, trace.stack_depth, columns)
+    next_cols = [np.roll(c, -MAX_CONSTRAINT_DEGREE) for c in columns]
+    next_state = TraceState.from_vec(
+        trace.ctx_depth, trace.loop_depth, trace.stack_depth, next_cols)
+
+    # x over the evaluation domain as an object column, with an index-trick
+    # lookup for x^p columns (x_j = r^j  =>  x_j^p = P[(j*p) mod n])
+    ev_root = field.get_root_of_unity(n_ev)
+    P = fj.to_ints(np.asarray(fj.power_series(ev_root, n_ev)))
+    j = np.arange(n_ev, dtype=np.uint64)
+
+    def xp_lookup(p):
+        return P[(j * np.uint64(p % n_ev)) % np.uint64(n_ev)]
+
+    xp_b = xp_lookup(evaluator.b_degree_adj)
+    i_evals, f_evals = evaluator.evaluate_boundaries(current, xp_b)
+    t_evals = evaluator.evaluate_transition_columns(current, next_state, xp_lookup)
+
+    if debug_check:
+        # transition constraints must vanish on trace steps (except the last)
+        zeros = t_evals[:: MAX_CONSTRAINT_DEGREE][:-1]
+        bad = np.nonzero(zeros)[0]
+        assert len(bad) == 0, f"transition constraints not satisfied at step {bad[:3]}"
+
+    return i_evals, f_evals, t_evals
+
+
+# ------------------------------------------------------------------------------------------------
+# step 4: combine boundary/transition polynomials with their divisors
+# ------------------------------------------------------------------------------------------------
+
+def _syn_div_column(coeffs_obj, b):
+    """Divide the polynomial (object-array coefficients) by (x - b).
+
+    T_i = sum_{j >= i} a_j b^{j-i}; result[i] = T_{i+1}, computed with a
+    power-weighted suffix sum instead of the reference's sequential scan."""
+    n = len(coeffs_obj)
+    if b == 1:
+        w = coeffs_obj
+    else:
+        pb = _object_powers(b, n)
+        w = (coeffs_obj * pb) % M
+    suffix = np.concatenate([np.cumsum(w[::-1])[::-1][1:], [0]]) % M
+    if b == 1:
+        return suffix
+    b_inv = field.inv(b)
+    pbinv = _object_powers(b_inv, n) * b_inv
+    return (suffix * pbinv) % M
+
+
+def _syn_div_expanded_column(coeffs_obj, degree, exception):
+    """Divide by (x^degree - 1) / (x - exception), vectorized."""
+    n = len(coeffs_obj)
+    m = n // degree
+    # q = a / (x^degree - 1): suffix sums along the stride-degree axis
+    B = coeffs_obj.reshape(m, degree)
+    R = np.cumsum(B[::-1], axis=0)[::-1] % M
+    r = R.reshape(n)
+    # multiply by (x - exception)
+    e_neg = field.neg(exception)
+    r_ext = np.concatenate([r, [0]])
+    r_shift = np.concatenate([[0], r])
+    prod = (r_ext * e_neg + r_shift) % M
+    count = (n - degree) + 1
+    out = np.zeros(n, dtype=object)
+    out[:count] = prod[degree : degree + count]
+    return out
+
+
+def _object_powers(b, n):
+    """[b^0 .. b^(n-1)] as an object array via log-doubling."""
+    idx = np.arange(n, dtype=np.uint64)
+    result = np.ones(n, dtype=object)
+    p = b
+    k = 0
+    while (1 << k) < n:
+        use = (idx >> np.uint64(k)) & np.uint64(1) == 1
+        result[use] = (result[use] * p) % M
+        p = (p * p) % M
+        k += 1
+    return result
+
+
+def _combine_constraint_polys(evaluator, i_evals, f_evals, t_evals, trace_length):
+    """iNTT each combined column, divide by its zero-polynomial, and sum.
+
+    Returns the constraint polynomial as a (n_ev, 4) device limb array."""
+    n_ev = evaluator.domain_size
+    ev_root = field.get_root_of_unity(n_ev)
+
+    i_poly = fj.to_ints(np.asarray(fj.intt(fj.from_ints(np.asarray(i_evals, dtype=object)), ev_root)))
+    f_poly = fj.to_ints(np.asarray(fj.intt(fj.from_ints(np.asarray(f_evals, dtype=object)), ev_root)))
+    t_poly = fj.to_ints(np.asarray(fj.intt(fj.from_ints(np.asarray(t_evals, dtype=object)), ev_root)))
+
+    x_last = evaluator.get_x_at_last_step()
+    i_div = _syn_div_column(i_poly, 1)
+    f_div = _syn_div_column(f_poly, x_last)
+    t_div = _syn_div_expanded_column(t_poly, trace_length, x_last)
+
+    combined = (i_div + f_div + t_div) % M
+    return fj.from_ints(combined)
+
+
+# ------------------------------------------------------------------------------------------------
+# step 5: constraint commitment
+# ------------------------------------------------------------------------------------------------
+
+def _build_constraint_tree(constraint_lde, hash_name):
+    """Two evaluations (32 raw bytes) per leaf - unlike the trace tree, the
+    leaves are the evaluation bytes themselves (reference prover.rs:84-86)."""
+    arr = np.ascontiguousarray(np.asarray(constraint_lde))  # (D, 4) u32
+    leaves_bytes = arr.reshape(arr.shape[0] // 2, 8).view(np.uint8)  # (D/2, 32)
+    return MerkleTree(leaves_bytes, hash_name)
+
+
+# ------------------------------------------------------------------------------------------------
+# step 6: DEEP composition in the evaluation domain
+# ------------------------------------------------------------------------------------------------
+
+def _build_composition_evaluations(trace, constraint_poly, constraint_lde, z, cc):
+    n = trace.domain_size()
+    trace_length = trace.unextended_length()
+
+    g = field.get_root_of_unity(trace_length)
+    next_z = field.mul(z, g)
+
+    trace_state1 = trace.eval_polys_at(z)
+    trace_state2 = trace.eval_polys_at(next_z)
+
+    # weighted register sums A1(x) = sum_i cc1_i T_i(x), A2 likewise
+    lde = trace.lde_dev  # (R, D, 4)
+    a1 = fj.zeros((n,))
+    a2 = fj.zeros((n,))
+    s1 = 0
+    s2 = 0
+    for i in range(trace.register_count()):
+        c1 = fj.constant(cc.trace1[i])
+        c2 = fj.constant(cc.trace2[i])
+        a1 = fj.add(a1, fj.mul(lde[i], jnp.broadcast_to(c1, (n, 4))))
+        a2 = fj.add(a2, fj.mul(lde[i], jnp.broadcast_to(c2, (n, 4))))
+        s1 = (s1 + trace_state1[i] * cc.trace1[i]) % M
+        s2 = (s2 + trace_state2[i] * cc.trace2[i]) % M
+
+    # batched inverses of (x - z) and (x - zg) over the LDE domain
+    lde_root = field.get_root_of_unity(n)
+    xs = fj.power_series(lde_root, n)
+    u = fj.inv_batch(fj.sub(xs, jnp.broadcast_to(fj.constant(z), (n, 4))))
+    v = fj.inv_batch(fj.sub(xs, jnp.broadcast_to(fj.constant(next_z), (n, 4))))
+
+    t1 = fj.mul(fj.sub(a1, jnp.broadcast_to(fj.constant(s1), (n, 4))), u)
+    t2 = fj.mul(fj.sub(a2, jnp.broadcast_to(fj.constant(s2), (n, 4))), v)
+    base = fj.add(t1, t2)
+
+    # degree adjustment: base * k1 + base * x^incr * k2
+    incr = utils.get_incremental_trace_degree(trace_length)
+    idx = (np.arange(n, dtype=np.uint64) * np.uint64(incr % n)) % np.uint64(n)
+    x_incr = xs[jnp.asarray(idx.astype(np.int64))]
+    part1 = fj.mul(base, jnp.broadcast_to(fj.constant(cc.t1_degree), (n, 4)))
+    part2 = fj.mul(fj.mul(base, x_incr), jnp.broadcast_to(fj.constant(cc.t2_degree), (n, 4)))
+    composed = fj.add(part1, part2)
+
+    # constraint part: (C(x) - C(z)) / (x - z) * cc.constraints
+    z_powers = fj.power_series_dev(fj.constant(z), constraint_poly.shape[0])
+    c_at_z = int(fj.to_ints(fj.dot(constraint_poly, z_powers)[None])[0])
+    c_part = fj.mul(
+        fj.mul(fj.sub(constraint_lde, jnp.broadcast_to(fj.constant(c_at_z), (n, 4))), u),
+        jnp.broadcast_to(fj.constant(cc.constraints), (n, 4)),
+    )
+    composed = fj.add(composed, c_part)
+
+    deep_values = DeepValues(trace_state1, trace_state2)
+    return composed, deep_values

@@ -1,0 +1,135 @@
+"""Execution-trace table with device-resident low-degree extension.
+
+The trace arrives from the VM as host integer columns; `extend()` runs the
+per-register iNTT -> zero-pad -> NTT pipeline on the TPU (the dominant cost
+of proving, reference src/stark/trace/trace_table.rs:143-169 re-architected
+onto the device NTT).  Row hashing for the Merkle commitment consumes the
+limb representation directly - uint32 limbs in little-endian order are
+exactly the u128 LE byte serialization the reference hashes.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..math import field
+from ..math import field_jax as fj
+from ..config import (
+    MAX_CONTEXT_DEPTH, MAX_LOOP_DEPTH, MAX_REGISTER_COUNT, MIN_EXTENSION_FACTOR,
+)
+from ..crypto.merkle import MerkleTree
+from ..crypto.blake3 import blake3_batch
+from ..crypto import hashes
+from .trace_state import TraceState, compute_decoder_width
+
+
+class TraceTable:
+    def __init__(self, registers, ctx_depth, loop_depth, extension_factor):
+        assert extension_factor & (extension_factor - 1) == 0
+        assert extension_factor >= MIN_EXTENSION_FACTOR
+        assert ctx_depth <= MAX_CONTEXT_DEPTH
+        assert loop_depth <= MAX_LOOP_DEPTH
+
+        decoder_width = compute_decoder_width(ctx_depth, loop_depth)
+        assert len(registers) > decoder_width, "user stack must have at least one register"
+        self.stack_depth = len(registers) - decoder_width
+        assert len(registers) < MAX_REGISTER_COUNT
+
+        self.trace_length = len(registers[0])
+        assert self.trace_length & (self.trace_length - 1) == 0
+        for r in registers:
+            assert len(r) == self.trace_length
+
+        self.registers = registers          # host int columns (unextended)
+        self.ctx_depth = ctx_depth
+        self.loop_depth = loop_depth
+        self.extension_factor = extension_factor
+
+        self.polys_dev = None               # (R, N, 4) device limb coefficients
+        self.lde_dev = None                 # (R, N*ext, 4) device limb evaluations
+
+    # geometry ------------------------------------------------------------------------------------
+
+    def unextended_length(self):
+        return self.trace_length
+
+    def domain_size(self):
+        return self.trace_length * self.extension_factor
+
+    def register_count(self):
+        return len(self.registers)
+
+    def is_extended(self):
+        return self.lde_dev is not None
+
+    # states --------------------------------------------------------------------------------------
+
+    def get_state(self, step):
+        return TraceState.from_vec(
+            self.ctx_depth, self.loop_depth, self.stack_depth,
+            [r[step] for r in self.registers],
+        )
+
+    def get_last_state(self):
+        return self.get_state(self.trace_length - 1)
+
+    # low-degree extension ------------------------------------------------------------------------
+
+    def extend(self):
+        assert not self.is_extended(), "trace table has already been extended"
+        n = self.trace_length
+        domain = self.domain_size()
+
+        regs = fj.from_ints(np.array(self.registers, dtype=object))  # (R, N, 4)
+        intt_v = jax.vmap(lambda v: fj.intt(v))
+        polys = intt_v(regs)
+        padded = jnp.zeros((polys.shape[0], domain, 4), dtype=jnp.uint32)
+        padded = padded.at[:, :n, :].set(polys)
+        ntt_v = jax.vmap(lambda v: fj.ntt(v))
+        lde = ntt_v(padded)
+
+        self.polys_dev = polys
+        self.lde_dev = lde
+
+    def lde_rows_bytes(self):
+        """Extended trace as (domain, R*16) uint8 rows for leaf hashing."""
+        assert self.is_extended()
+        arr = np.asarray(self.lde_dev)                   # (R, D, 4) u32
+        rows = np.transpose(arr, (1, 0, 2))              # (D, R, 4)
+        return np.ascontiguousarray(rows).reshape(rows.shape[0], -1).view(np.uint8)
+
+    def build_merkle_tree(self, hash_name):
+        rows = self.lde_rows_bytes()
+        if hash_name == "blake3":
+            leaves = blake3_batch(rows)
+        else:
+            hash_fn = hashes.HASH_FUNCTIONS[hash_name]
+            leaves = np.array(
+                [np.frombuffer(hash_fn(rows[i].tobytes()), dtype=np.uint8)
+                 for i in range(rows.shape[0])]
+            )
+        return MerkleTree(leaves, hash_name)
+
+    def get_register_values_at(self, positions):
+        """Rows of the extended trace at the given positions (host ints)."""
+        arr = np.asarray(self.lde_dev)  # (R, D, 4)
+        result = []
+        for p in positions:
+            row = fj.to_ints(arr[:, p, :])
+            result.append([int(v) for v in row])
+        return result
+
+    def lde_columns_host(self, stride):
+        """Strided evaluation-domain samples of every register as numpy
+        object-array columns (for the columnar constraint evaluator)."""
+        arr = np.asarray(self.lde_dev)[:, ::stride, :]   # (R, D/stride, 4)
+        obj = arr.astype(object)
+        cols = obj[..., 0] | (obj[..., 1] << 32) | (obj[..., 2] << 64) | (obj[..., 3] << 96)
+        return [cols[i] for i in range(cols.shape[0])]
+
+    def eval_polys_at(self, z):
+        """T_i(z) for all registers (device dot with the power series of z)."""
+        assert self.is_extended()
+        powers = fj.power_series_dev(fj.constant(z), self.trace_length)
+        values = jax.vmap(lambda p: fj.dot(p, powers))(self.polys_dev)
+        return [int(v) for v in fj.to_ints(values)]
