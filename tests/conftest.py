@@ -11,6 +11,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/distaff_tpu_jax_cache"))
 try:
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 except RuntimeError:
