@@ -26,7 +26,11 @@ def execute(program, inputs, num_outputs, options):
         f"cannot produce more than {MAX_OUTPUTS} outputs, but requested {num_outputs}"
     )
 
-    trace_registers, ctx_depth, loop_depth = processor.execute(program, inputs)
+    from . import native
+    if native.available():
+        trace_registers, ctx_depth, loop_depth = native.execute(program, inputs)
+    else:
+        trace_registers, ctx_depth, loop_depth = processor.execute(program, inputs)
     trace = TraceTable(trace_registers, ctx_depth, loop_depth, options.extension_factor())
 
     last_state = trace.get_last_state()

@@ -159,11 +159,17 @@ def compress_batch(xp, cv, m, counter, block_len, flags):
 def blake3_batch(data: np.ndarray) -> np.ndarray:
     """Hash N equal-length messages at once: (N, L) uint8 -> (N, 32) uint8.
 
-    Messages of length <= 1024 stay single-chunk; longer messages use the
-    standard chunk/parent tree (vectorized per tree level).  This covers
-    every batched hashing site in the prover (trace rows <= 2048 bytes,
-    Merkle node pairs and FRI rows = 64 bytes).
+    Dispatches to the native OpenMP implementation when built
+    (native/libdistaff_native.so); otherwise uses the numpy-vectorized path.
     """
+    from .. import native
+    if native.available():
+        return native.blake3_batch(data)
+    return _blake3_batch_numpy(data)
+
+
+def _blake3_batch_numpy(data: np.ndarray) -> np.ndarray:
+    """Numpy fallback: vectorized across messages, sequential over blocks."""
     xp = np
     n, length = data.shape
     chunk_bounds = list(range(0, max(length, 1), _CHUNK_LEN))

@@ -31,6 +31,10 @@ def _hash_pairs(level: np.ndarray, hash_name: str) -> np.ndarray:
 
 def build_merkle_nodes(leaves: np.ndarray, hash_name: str) -> np.ndarray:
     """Build internal nodes for (N, 32) uint8 leaves; nodes[1] is the root."""
+    if hash_name == "blake3":
+        from .. import native
+        if native.available():
+            return native.merkle_nodes(leaves)
     n = leaves.shape[0] // 2
     nodes = np.zeros((2 * n, 32), dtype=np.uint8)
     # first row of internal nodes: parents of the leaves
