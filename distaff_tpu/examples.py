@@ -41,18 +41,26 @@ def collatz(start=5):
     return program, inputs, 1, [steps]
 
 
-def comparison(value=11):
-    """Compare two secret values and select (reference examples/comparison.rs)."""
+def comparison(value=6):
+    """Compare a secret value against 9, multiply or add accordingly, then
+    check oddness (reference examples/comparison.rs)."""
     program = assembly.compile("""
     begin
-        read.ab dup.2 lt.128 if.true swap end
-        dup.2 gt.128 if.true swap end
-        choose
+        push.9
+        read
+        dup.2
+        lt.128
+        if.true
+            mul
+        else
+            add
+        end
+        dup
+        isodd.128
     end""")
-    # simplified vs the reference's example but exercises lt/gt/choose
-    a, b = value, value + 3
-    inputs = ProgramInputs([], [a], [b])
-    return program, inputs, 1, None  # expected computed by execution
+    expected = field.mul(9, value) if value < 9 else field.add(9, value)
+    inputs = ProgramInputs([], [value], [])
+    return program, inputs, 2, [expected & 1, expected]
 
 
 def conditional(flag=1, a=13, b=29):
@@ -74,27 +82,73 @@ def range_check(value=42, bits=63):
     return program, inputs, 1, [expected]
 
 
-def merkle_path(index, leaf, path):
-    """Verify a Merkle authentication path over secret tapes
-    (reference examples/merkle.rs).  `path` is a list of (2-element) sibling
-    digests bottom-up; leaf is a 2-element digest; index selects the leaf."""
-    depth = len(path) + 1
-    program = assembly.compile(f"begin smpath.{depth} end")
-    # tape A/B: leaf then siblings, interleaved with index bits via read2 order
-    tape_a = [leaf[0]]
-    tape_b = [leaf[1]]
-    idx_bits = [(index >> i) & 1 for i in range(len(path))]
-    for bit, node in zip(idx_bits, path):
-        tape_a.extend([bit, node[0]])
-        tape_b.extend([node[1]])
-    # smpath reads: read2 (node), swap2, read2 (bit in a, ...) per level
-    inputs = ProgramInputs([], tape_a, tape_b)
-    return program, inputs, 2, None
+def merkle(depth=4):
+    """Verify a Merkle authentication path twice - with smpath (index from
+    the input tapes) and pmpath (index from the stack) - for a
+    pseudo-randomly generated path (reference examples/merkle.rs)."""
+    from .utils import rand, hasher
+
+    assert depth >= 2, "tree depth must be at least 2"
+    s1 = bytes([1, 2, 3] + [0] * 29)
+    s2 = bytes([4, 5, 6] + [0] * 29)
+    leaves = 1 << (depth - 1)
+    leaf_index = rand.prng(s1, field.M) % leaves
+    path = [rand.prng_vector(s1, depth, field.M), rand.prng_vector(s2, depth, field.M)]
+
+    expected = _compute_merkle_root(path, leaf_index, depth)
+
+    program = assembly.compile(f"""
+    begin
+        read.ab
+        dup.2
+        smpath.{depth}
+        swap.2
+        push.{leaf_index}
+        roll.4 swap swap.2
+        pmpath.{depth}
+    end""")
+
+    # build input tapes (reference merkle.rs generate_program_inputs)
+    a, b = [path[0][0]], [path[1][0]]
+    index = leaf_index + (1 << (depth - 1))
+    for i in range(1, depth):
+        a.append(0)
+        b.append(index & 1)
+        index >>= 1
+        a.append(path[0][i])
+        b.append(path[1][i])
+    for i in range(1, depth):
+        a.append(path[0][i])
+        b.append(path[1][i])
+
+    inputs = ProgramInputs([], a, b)
+    result = list(expected) + [expected[0], expected[1]]
+    result.reverse()
+    return program, inputs, 4, result
+
+
+def _compute_merkle_root(path, index, n):
+    from .utils import hasher
+
+    r = index & 1
+    buf = [path[0][r], path[1][r], path[0][1 - r], path[1][1 - r]]
+    v = hasher.digest(buf)
+    index = (index + (1 << (n - 1))) >> 1
+    for i in range(2, n):
+        if index & 1 == 0:
+            buf = [v[0], v[1], path[0][i], path[1][i]]
+        else:
+            buf = [path[0][i], path[1][i], v[0], v[1]]
+        v = hasher.digest(buf)
+        index >>= 1
+    return v
 
 
 EXAMPLES = {
     "fibonacci": fibonacci,
     "collatz": collatz,
+    "comparison": comparison,
     "conditional": conditional,
     "rangecheck": range_check,
+    "merkle": merkle,
 }

@@ -152,3 +152,63 @@ def merkle_nodes(leaves: np.ndarray) -> np.ndarray:
         leaves.ctypes.data_as(ctypes.c_char_p), n,
         out.ctypes.data_as(ctypes.c_char_p))
     return out
+
+
+# ------------------------------------------------------------------------------------------------
+# native transition-constraint evaluation
+# ------------------------------------------------------------------------------------------------
+
+def _u128_bytes_from_ints(values):
+    return b"".join(int(v).to_bytes(16, "little") for v in values)
+
+
+def eval_transition(trace_u32, ctx_depth, loop_depth, stack_depth,
+                    dec_ark_rows, mask_rows, stk_ark_rows,
+                    cc_transition, degree_groups, xp_u32):
+    """Combined transition-constraint column via native/air.cpp.
+
+    trace_u32: (R, n, 4) uint32 strided evaluation-domain samples
+    *_rows:    periodic constant tables as lists of per-row cycle lists (ints)
+    cc_transition: coefficient list (pairs, group-consumption order)
+    degree_groups: [(incremental_degree, [constraint indices]), ...]
+    xp_u32:   (n_groups, n, 4) uint32 degree-adjustment columns
+    Returns the (n, 4) uint32 combined column.
+    """
+    assert _lib is not None
+    if not hasattr(_lib, "_dt_eval_transition_ready"):
+        _lib.dt_eval_transition.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_char_p,
+        ]
+        _lib._dt_eval_transition_ready = True
+
+    trace_u32 = np.ascontiguousarray(trace_u32)
+    num_regs, n, _ = trace_u32.shape
+    cycle = len(dec_ark_rows[0])
+
+    dec_ark = _u128_bytes_from_ints(v for row in dec_ark_rows for v in row)
+    masks = _u128_bytes_from_ints(v for row in mask_rows for v in row)
+    stk_ark = _u128_bytes_from_ints(v for row in stk_ark_rows for v in row)
+    cc = _u128_bytes_from_ints(cc_transition)
+
+    group_idx = np.array(
+        [idx for _, idxs in degree_groups for idx in idxs], dtype=np.uint32)
+    group_size = np.array([len(idxs) for _, idxs in degree_groups], dtype=np.uint32)
+    xp_u32 = np.ascontiguousarray(xp_u32)
+
+    out = np.empty((n, 4), dtype=np.uint32)
+    _lib.dt_eval_transition(
+        trace_u32.ctypes.data_as(ctypes.c_char_p), n, num_regs,
+        ctx_depth, loop_depth, stack_depth,
+        dec_ark, masks, stk_ark, cycle,
+        cc,
+        group_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        group_size.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        len(degree_groups),
+        xp_u32.ctypes.data_as(ctypes.c_char_p),
+        out.ctypes.data_as(ctypes.c_char_p))
+    return out

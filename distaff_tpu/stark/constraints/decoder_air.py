@@ -56,8 +56,10 @@ class Decoder:
         self.constraint_degrees = degrees
 
         self.ark_polys, ark_evaluations = extend_constants(ARK_ROWS, extension_factor)
+        self.ark_rows = ark_evaluations  # row-major [row][cycle] for native eval
         self.ark_values = _transpose(ark_evaluations, self.cycle_length)
         self.mask_polys, mask_evaluations = extend_constants(MASKS, extension_factor)
+        self.mask_rows = mask_evaluations
         self.mask_values = _transpose(mask_evaluations, self.cycle_length)
 
     def constraint_count(self):

@@ -34,6 +34,7 @@ class Stack:
             list(AUX_CONSTRAINT_DEGREES) + [STACK_TRANSITION_DEGREE] * stack_depth
         )
         self.ark_polys, ark_evaluations = extend_constants(ARK_ROWS, extension_factor)
+        self.ark_rows = ark_evaluations  # row-major [row][cycle] for native eval
         self.ark_values = [
             [ark_evaluations[j][i] for j in range(2 * HASH_STATE_WIDTH)]
             for i in range(self.cycle_length)

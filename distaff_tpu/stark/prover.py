@@ -129,31 +129,59 @@ def prove(trace, inputs, outputs, options):
 # ------------------------------------------------------------------------------------------------
 
 def _evaluate_constraints_columnar(evaluator, trace, debug_check=True):
+    from .. import native
+
     stride = trace.extension_factor // MAX_CONSTRAINT_DEGREE
     n_ev = evaluator.domain_size
 
-    columns = trace.lde_columns_host(stride)
+    trace_u32 = np.ascontiguousarray(np.asarray(trace.lde_dev)[:, ::stride, :])
+    P_u32 = np.asarray(fj.power_series(field.get_root_of_unity(n_ev), n_ev))
+    j = np.arange(n_ev, dtype=np.uint64)
+
+    def xp_indices(p):
+        return ((j * np.uint64(p % n_ev)) % np.uint64(n_ev)).astype(np.int64)
+
+    # boundary constraints are evaluated on host object columns; they only
+    # touch the decoder registers and IO-constrained stack slots, so with the
+    # native transition path we convert just those columns
+    use_native = native.available()
+    n_needed = 15 + trace.ctx_depth + trace.loop_depth + min(trace.stack_depth, 8)
+    if not use_native:
+        n_needed = trace_u32.shape[0]
+    obj = trace_u32[:n_needed].astype(object)
+    columns = [
+        obj[i, :, 0] | (obj[i, :, 1] << 32) | (obj[i, :, 2] << 64) | (obj[i, :, 3] << 96)
+        for i in range(n_needed)
+    ]
+    columns += [np.zeros(n_ev, dtype=object)] * (trace_u32.shape[0] - n_needed)
     current = TraceState.from_vec(
         trace.ctx_depth, trace.loop_depth, trace.stack_depth, columns)
+    P_obj = fj.to_ints(P_u32)
+    xp_b = P_obj[xp_indices(evaluator.b_degree_adj)]
+    i_evals, f_evals = evaluator.evaluate_boundaries(current, xp_b)
+
+    # transition constraints: native columnar sweep when available
+    if use_native:
+        xp_u32 = np.stack(
+            [P_u32[xp_indices(incr)] for incr, _ in evaluator.t_degree_groups])
+        t_u32 = native.eval_transition(
+            trace_u32, trace.ctx_depth, trace.loop_depth, trace.stack_depth,
+            evaluator.decoder.ark_rows, evaluator.decoder.mask_rows,
+            evaluator.stack.ark_rows,
+            evaluator.coefficients.transition, evaluator.t_degree_groups, xp_u32)
+        if debug_check:
+            zeros = t_u32[:: MAX_CONSTRAINT_DEGREE][:-1]
+            bad = np.nonzero(zeros.any(axis=1))[0]
+            assert len(bad) == 0, f"transition constraints not satisfied at step {bad[:3]}"
+        return i_evals, f_evals, t_u32
+
     next_cols = [np.roll(c, -MAX_CONSTRAINT_DEGREE) for c in columns]
     next_state = TraceState.from_vec(
         trace.ctx_depth, trace.loop_depth, trace.stack_depth, next_cols)
-
-    # x over the evaluation domain as an object column, with an index-trick
-    # lookup for x^p columns (x_j = r^j  =>  x_j^p = P[(j*p) mod n])
-    ev_root = field.get_root_of_unity(n_ev)
-    P = fj.to_ints(np.asarray(fj.power_series(ev_root, n_ev)))
-    j = np.arange(n_ev, dtype=np.uint64)
-
-    def xp_lookup(p):
-        return P[(j * np.uint64(p % n_ev)) % np.uint64(n_ev)]
-
-    xp_b = xp_lookup(evaluator.b_degree_adj)
-    i_evals, f_evals = evaluator.evaluate_boundaries(current, xp_b)
-    t_evals = evaluator.evaluate_transition_columns(current, next_state, xp_lookup)
+    t_evals = evaluator.evaluate_transition_columns(
+        current, next_state, lambda p: P_obj[xp_indices(p)])
 
     if debug_check:
-        # transition constraints must vanish on trace steps (except the last)
         zeros = t_evals[:: MAX_CONSTRAINT_DEGREE][:-1]
         bad = np.nonzero(zeros)[0]
         assert len(bad) == 0, f"transition constraints not satisfied at step {bad[:3]}"
@@ -224,9 +252,14 @@ def _combine_constraint_polys(evaluator, i_evals, f_evals, t_evals, trace_length
     n_ev = evaluator.domain_size
     ev_root = field.get_root_of_unity(n_ev)
 
-    i_poly = fj.to_ints(np.asarray(fj.intt(fj.from_ints(np.asarray(i_evals, dtype=object)), ev_root)))
-    f_poly = fj.to_ints(np.asarray(fj.intt(fj.from_ints(np.asarray(f_evals, dtype=object)), ev_root)))
-    t_poly = fj.to_ints(np.asarray(fj.intt(fj.from_ints(np.asarray(t_evals, dtype=object)), ev_root)))
+    def _to_limbs(evals):
+        if isinstance(evals, np.ndarray) and evals.dtype == np.uint32:
+            return jnp.asarray(evals)
+        return fj.from_ints(np.asarray(evals, dtype=object))
+
+    i_poly = fj.to_ints(np.asarray(fj.intt(_to_limbs(i_evals), ev_root)))
+    f_poly = fj.to_ints(np.asarray(fj.intt(_to_limbs(f_evals), ev_root)))
+    t_poly = fj.to_ints(np.asarray(fj.intt(_to_limbs(t_evals), ev_root)))
 
     x_last = evaluator.get_x_at_last_step()
     i_div = _syn_div_column(i_poly, 1)
