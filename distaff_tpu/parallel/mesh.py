@@ -70,7 +70,9 @@ def sharded_composition(lde, weights1, weights2, z, next_z, mesh):
     all-to-all that rides the ICI.
     """
     n = lde.shape[1]
-    row_sharding = NamedSharding(mesh, P("shard", None))
+    n_dev = mesh.devices.size
+    # shard rows when they divide evenly; otherwise let XLA pick the layout
+    row_sharding = NamedSharding(mesh, P("shard", None)) if n % n_dev == 0 else None
     lde_root = field.get_root_of_unity(n)
 
     @functools.partial(jax.jit, out_shardings=row_sharding)
@@ -89,10 +91,21 @@ def sharded_composition(lde, weights1, weights2, z, next_z, mesh):
 
 
 def dryrun_step(n_devices, trace_registers=None):
-    """One sharded proving step on tiny shapes: LDE (register-sharded NTTs)
-    -> pointwise composition (row-sharded) with the implicit resharding
-    collective in between.  Used by __graft_entry__.dryrun_multichip."""
+    """One sharded proving step on tiny shapes: intra-NTT sharding with an
+    all-to-all butterfly-stage exchange, register-sharded LDE NTTs, and a
+    row-sharded pointwise composition (with the implicit resharding
+    collective in between).  Used by __graft_entry__.dryrun_multichip."""
+    from . import ntt_sharded as ns
+
     mesh = make_mesh(n_devices)
+
+    # intra-NTT sharding: one transform split across all devices (requires the
+    # device count to divide the transform's row factor, i.e. a power of two)
+    if n_devices & (n_devices - 1) == 0:
+        rng0 = np.random.default_rng(42)
+        size = max(256, 16 * n_devices)
+        big = fj.from_ints(rng0.integers(0, 2**63, size=(size,)).astype(object))
+        ns.intt_sharded(ns.ntt_sharded(big, mesh), mesh).block_until_ready()
 
     n = 64
     ext = 16

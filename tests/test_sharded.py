@@ -1,0 +1,37 @@
+"""Multi-chip sharding tests on the virtual CPU mesh."""
+
+import random
+
+import numpy as np
+import pytest
+import jax
+
+from distaff_tpu.math import field
+from distaff_tpu.math import field_jax as fj
+from distaff_tpu.parallel.mesh import make_mesh
+from distaff_tpu.parallel import ntt_sharded as ns
+
+
+def _require_devices(n):
+    if len(jax.devices("cpu")) < n:
+        pytest.skip(f"need {n} virtual devices")
+
+
+@pytest.mark.parametrize("n,d", [(256, 4), (1024, 8)])
+def test_sharded_ntt_matches_single_chip(n, d):
+    _require_devices(d)
+    mesh = make_mesh(d)
+    rng = random.Random(n)
+    x = fj.from_ints([rng.randrange(field.M) for _ in range(n)])
+    got = ns.ntt_sharded(x, mesh)
+    expected = fj.ntt(x)
+    assert (np.asarray(got) == np.asarray(expected)).all()
+
+
+def test_sharded_intt_roundtrip():
+    _require_devices(4)
+    mesh = make_mesh(4)
+    rng = random.Random(7)
+    x = fj.from_ints([rng.randrange(field.M) for _ in range(512)])
+    back = ns.intt_sharded(ns.ntt_sharded(x, mesh), mesh)
+    assert (np.asarray(back) == np.asarray(x)).all()
