@@ -336,28 +336,14 @@ def sum_reduce(a, axis=0):
     return jnp.squeeze(a, axis=axis)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
 def power_series(x_int, n):
-    """[x^0, x^1, ..., x^(n-1)] as an (n, 4) device array: one scanned
-    selected-multiply per index bit, with x^(2^k) factors precomputed on host."""
-    bits = max((n - 1).bit_length(), 1)
-    idx = jnp.arange(n, dtype=jnp.uint32)
-    p = int(x_int)
-    factors = []
-    for _ in range(bits):
-        factors.append([(p >> (32 * j)) & 0xFFFFFFFF for j in range(4)])
-        p = (p * p) % M
-    factors = jnp.array(factors, dtype=_U32)  # (bits, 4)
-    ks = jnp.arange(bits, dtype=jnp.uint32)
+    """[x^0, x^1, ..., x^(n-1)] as an (n, 4) device array.
 
-    def body(result, xs):
-        factor, k = xs
-        use = ((idx >> k) & 1) == 1
-        stepped = mul(result, jnp.broadcast_to(factor, result.shape))
-        return jnp.where(use[:, None], stepped, result), None
-
-    result, _ = jax.lax.scan(body, full((n,), 1), (factors, ks))
-    return result
+    Delegates to the traced-base variant: with the base as a static constant
+    the whole scan is constant-foldable and XLA's compile-time HLO evaluator
+    spends minutes materializing it (measured 233s at n=2^15); passing the
+    base as a runtime array keeps compilation in milliseconds."""
+    return power_series_dev(constant(int(x_int)), n)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))

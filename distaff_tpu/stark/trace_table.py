@@ -99,6 +99,17 @@ class TraceTable:
         return np.ascontiguousarray(rows).reshape(rows.shape[0], -1).view(np.uint8)
 
     def build_merkle_tree(self, hash_name):
+        import os
+        if (os.environ.get("DISTAFF_DEVICE_HASH") == "1"
+                and hash_name == "blake3" and self.register_count() * 16 <= 1024):
+            # opt-in: hash rows on device, transferring 32-byte digests
+            # instead of R*16-byte rows.  Disabled by default until the
+            # compression graph is reformulated as loops - XLA compiles the
+            # unrolled G-function chains too slowly.
+            from ..ops.blake3_jax import hash_trace_rows
+            leaves = hash_trace_rows(self.lde_dev)
+            if leaves is not None:
+                return MerkleTree(leaves, hash_name)
         rows = self.lde_rows_bytes()
         if hash_name == "blake3":
             leaves = blake3_batch(rows)
