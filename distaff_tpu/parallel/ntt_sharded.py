@@ -17,10 +17,9 @@ transforms reuse the constant-geometry single-chip NTT.
 
 import functools
 
-import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from ..math import field

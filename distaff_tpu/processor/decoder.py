@@ -6,7 +6,6 @@ alignment invariants (block boundaries on 16-step cycles, PUSH on multiples
 of 8) are asserted as ops are decoded.
 """
 
-from ..math import field
 from ..utils import sponge
 from ..config import (
     MAX_CONTEXT_DEPTH, MAX_LOOP_DEPTH,

@@ -16,7 +16,7 @@ NOOP_VALUE = int(OpCode.Noop)
 
 
 def hash_seq(blocks, suffix, suffix_offset):
-    from .blocks import Span, Group, Switch, Loop  # local import to avoid cycle
+    from .blocks import Span  # local import to avoid cycle
 
     state = [0] * SPONGE_WIDTH
 

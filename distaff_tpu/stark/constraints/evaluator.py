@@ -13,8 +13,7 @@ Two evaluation modes share the same constraint code:
 import numpy as np
 
 from ...math import field
-from ...config import MAX_CONSTRAINT_DEGREE, BASE_CYCLE_LENGTH, PROGRAM_DIGEST_SIZE
-from ..trace_state import TraceState
+from ...config import MAX_CONSTRAINT_DEGREE, PROGRAM_DIGEST_SIZE
 from .. import utils as stark_utils
 from .decoder_air import Decoder
 from .stack_air import Stack

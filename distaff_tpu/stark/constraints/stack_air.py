@@ -7,7 +7,6 @@ from ...math import field, polynom
 from ...config import BASE_CYCLE_LENGTH, HASH_STATE_WIDTH
 from ...crypto.ark_constants import HASHER_MDS, HASHER_INV_MDS, HASHER_ARK
 from ...programs.opcodes import OpCode
-from . import utils
 from .utils import (
     agg, is_zero, is_binary, binary_not, are_equal, extend_constants,
     enforce_stack_copy, enforce_left_shift, enforce_right_shift,

@@ -3,7 +3,6 @@
 """
 
 import numpy as np
-import jax.numpy as jnp
 
 from ..math import field, quartic, polynom
 from ..math import field_jax as fj

@@ -3,7 +3,6 @@
 from ..math import field
 from ..crypto.merkle import BatchMerkleProof
 from ..crypto import hashes
-from .options import ProofOptions
 
 
 class DeepValues:

@@ -26,7 +26,6 @@ from ..math import field
 from ..math import field_jax as fj
 from ..config import MAX_CONSTRAINT_DEGREE
 from ..crypto.merkle import MerkleTree
-from ..crypto.blake3 import blake3_batch
 from ..crypto import hashes
 from .trace_state import TraceState
 from .constraints.evaluator import Evaluator

@@ -12,7 +12,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..math import field
 from ..math import field_jax as fj
 from ..config import (
     MAX_CONTEXT_DEPTH, MAX_LOOP_DEPTH, MAX_REGISTER_COUNT, MIN_EXTENSION_FACTOR,
@@ -129,14 +128,6 @@ class TraceTable:
             row = fj.to_ints(arr[:, p, :])
             result.append([int(v) for v in row])
         return result
-
-    def lde_columns_host(self, stride):
-        """Strided evaluation-domain samples of every register as numpy
-        object-array columns (for the columnar constraint evaluator)."""
-        arr = np.asarray(self.lde_dev)[:, ::stride, :]   # (R, D/stride, 4)
-        obj = arr.astype(object)
-        cols = obj[..., 0] | (obj[..., 1] << 32) | (obj[..., 2] << 64) | (obj[..., 3] << 96)
-        return [cols[i] for i in range(cols.shape[0])]
 
     def eval_polys_at(self, z):
         """T_i(z) for all registers (device dot with the power series of z)."""
