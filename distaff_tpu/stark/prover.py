@@ -285,6 +285,15 @@ def _build_constraint_tree(constraint_lde, hash_name):
 # step 6: DEEP composition in the evaluation domain
 # ------------------------------------------------------------------------------------------------
 
+import jax as _jax
+
+
+@_jax.jit
+def _weighted_register_sum(lde, weights):
+    """sum_i weights[i] * lde[i]: (R, D, 4) x (R, 4) -> (D, 4)."""
+    products = fj.mul(lde, weights[:, None, :])
+    return fj.sum_reduce(products, axis=0)
+
 def _build_composition_evaluations(trace, constraint_poly, constraint_lde, z, cc):
     n = trace.domain_size()
     trace_length = trace.unextended_length()
@@ -295,17 +304,17 @@ def _build_composition_evaluations(trace, constraint_poly, constraint_lde, z, cc
     trace_state1 = trace.eval_polys_at(z)
     trace_state2 = trace.eval_polys_at(next_z)
 
-    # weighted register sums A1(x) = sum_i cc1_i T_i(x), A2 likewise
+    # weighted register sums A1(x) = sum_i cc1_i T_i(x), A2 likewise,
+    # fused into one device reduction instead of per-register dispatches
     lde = trace.lde_dev  # (R, D, 4)
-    a1 = fj.zeros((n,))
-    a2 = fj.zeros((n,))
+    r_count = trace.register_count()
+    w1 = fj.from_ints(np.array(cc.trace1[:r_count], dtype=object))  # (R, 4)
+    w2 = fj.from_ints(np.array(cc.trace2[:r_count], dtype=object))
+    a1 = _weighted_register_sum(lde, w1)
+    a2 = _weighted_register_sum(lde, w2)
     s1 = 0
     s2 = 0
-    for i in range(trace.register_count()):
-        c1 = fj.constant(cc.trace1[i])
-        c2 = fj.constant(cc.trace2[i])
-        a1 = fj.add(a1, fj.mul(lde[i], jnp.broadcast_to(c1, (n, 4))))
-        a2 = fj.add(a2, fj.mul(lde[i], jnp.broadcast_to(c2, (n, 4))))
+    for i in range(r_count):
         s1 = (s1 + trace_state1[i] * cc.trace1[i]) % M
         s2 = (s2 + trace_state2[i] * cc.trace2[i]) % M
 

@@ -121,13 +121,13 @@ class TraceTable:
         return MerkleTree(leaves, hash_name)
 
     def get_register_values_at(self, positions):
-        """Rows of the extended trace at the given positions (host ints)."""
-        arr = np.asarray(self.lde_dev)  # (R, D, 4)
-        result = []
-        for p in positions:
-            row = fj.to_ints(arr[:, p, :])
-            result.append([int(v) for v in row])
-        return result
+        """Rows of the extended trace at the given positions (host ints):
+        one batched gather + transfer instead of a round-trip per position."""
+        idx = jnp.asarray(np.array(positions, dtype=np.int64))
+        rows = np.asarray(self.lde_dev[:, idx, :])   # (R, Q, 4)
+        ints = fj.to_ints(rows)                      # (R, Q) object
+        return [[int(ints[r][q]) for r in range(ints.shape[0])]
+                for q in range(ints.shape[1])]
 
     def eval_polys_at(self, z):
         """T_i(z) for all registers (device dot with the power series of z)."""
