@@ -3,10 +3,14 @@
 Hashing trace rows on the TPU reduces the device->host transfer for the
 trace commitment from R*16 bytes per row to the 32-byte digest per leaf
 (10x+ for wide traces), and keeps the bandwidth-heavy part of the Merkle
-stage on the device.  Reuses the backend-agnostic compression kernel from
-distaff_tpu.crypto.blake3 with jax.numpy as the array namespace.
+stage on the device.
 
-Only single-chunk messages (<= 1024 bytes = 64 registers) need the fast
+The compression function is expressed as a `fori_loop` over the 7 rounds
+with the per-round message schedule precomputed as composed-permutation
+index tables - unrolling the G-function chains instead makes XLA's
+compile time explode.
+
+Only single-chunk messages (<= 1024 bytes = 64 registers) need this fast
 path; wider traces fall back to the host implementation.
 """
 
@@ -16,7 +20,60 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..crypto.blake3 import compress_batch, CHUNK_START, CHUNK_END, ROOT, _IV
+from ..crypto.blake3 import _IV, _PERM, CHUNK_START, CHUNK_END, ROOT
+
+# composed permutations: round r reads message word j from PERMS[r][j]
+_PERMS = np.zeros((7, 16), dtype=np.int32)
+_PERMS[0] = np.arange(16)
+for _r in range(1, 7):
+    _PERMS[_r] = _PERMS[_r - 1][list(_PERM)]
+
+
+def _g(s, a, b, c, d, mx, my):
+    sa, sb, sc, sd = s[a], s[b], s[c], s[d]
+    sa = sa + sb + mx
+    sd = sd ^ sa
+    sd = (sd >> 16) | (sd << 16)
+    sc = sc + sd
+    sb = sb ^ sc
+    sb = (sb >> 12) | (sb << 20)
+    sa = sa + sb + my
+    sd = sd ^ sa
+    sd = (sd >> 8) | (sd << 24)
+    sc = sc + sd
+    sb = sb ^ sc
+    sb = (sb >> 7) | (sb << 25)
+    return s.at[a].set(sa).at[b].set(sb).at[c].set(sc).at[d].set(sd)
+
+
+def _compress(cv, m_stack, block_len, flags):
+    """cv: (8, N); m_stack: (16, N) message words -> new cv (8, N)."""
+    n = cv.shape[1]
+    iv = jnp.asarray(np.array(_IV[:4], dtype=np.uint32))
+    tail = jnp.stack([
+        jnp.broadcast_to(iv[0], (n,)), jnp.broadcast_to(iv[1], (n,)),
+        jnp.broadcast_to(iv[2], (n,)), jnp.broadcast_to(iv[3], (n,)),
+        jnp.zeros(n, dtype=jnp.uint32), jnp.zeros(n, dtype=jnp.uint32),
+        jnp.full((n,), block_len, dtype=jnp.uint32),
+        jnp.full((n,), flags, dtype=jnp.uint32),
+    ])
+    s = jnp.concatenate([cv, tail], axis=0)  # (16, N)
+    perm_table = jnp.asarray(_PERMS)
+
+    def round_body(r, s):
+        m = m_stack[perm_table[r]]
+        s = _g(s, 0, 4, 8, 12, m[0], m[1])
+        s = _g(s, 1, 5, 9, 13, m[2], m[3])
+        s = _g(s, 2, 6, 10, 14, m[4], m[5])
+        s = _g(s, 3, 7, 11, 15, m[6], m[7])
+        s = _g(s, 0, 5, 10, 15, m[8], m[9])
+        s = _g(s, 1, 6, 11, 12, m[10], m[11])
+        s = _g(s, 2, 7, 8, 13, m[12], m[13])
+        s = _g(s, 3, 4, 9, 14, m[14], m[15])
+        return s
+
+    s = jax.lax.fori_loop(0, 7, round_body, s)
+    return s[:8] ^ s[8:]
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -24,7 +81,7 @@ def hash_rows_u32(rows_u32, byte_len):
     """BLAKE3 of N equal-length single-chunk messages given as u32 words.
 
     rows_u32: (N, W) uint32 little-endian message words (W = byte_len/4).
-    Returns (N, 8) uint32 digests.
+    Returns (N, 8) uint32 digests.  Chunk counter is 0 (single chunk).
     """
     assert byte_len <= 1024, "device path handles single-chunk messages only"
     assert byte_len % 4 == 0
@@ -32,24 +89,22 @@ def hash_rows_u32(rows_u32, byte_len):
     assert w * 4 == byte_len
 
     nblocks = max((byte_len + 63) // 64, 1)
-    # zero-pad to a whole number of 64-byte blocks
     padded_w = nblocks * 16
     if w < padded_w:
         rows_u32 = jnp.concatenate(
             [rows_u32, jnp.zeros((n, padded_w - w), dtype=jnp.uint32)], axis=1)
 
-    cv = [jnp.full((n,), iv, dtype=jnp.uint32) for iv in _IV]
+    cv = jnp.stack([jnp.full((n,), iv, dtype=jnp.uint32) for iv in _IV])
     for i in range(nblocks):
-        block = rows_u32[:, i * 16 : (i + 1) * 16]
-        m = [block[:, j] for j in range(16)]
+        m_stack = rows_u32[:, i * 16 : (i + 1) * 16].T  # (16, N)
         flags = 0
         if i == 0:
             flags |= CHUNK_START
         if i == nblocks - 1:
             flags |= CHUNK_END | ROOT
         blen = 64 if i < nblocks - 1 else byte_len - 64 * (nblocks - 1)
-        cv = compress_batch(jnp, cv, m, 0, blen, flags)
-    return jnp.stack(cv, axis=1)
+        cv = _compress(cv, m_stack, blen, flags)
+    return cv.T  # (N, 8)
 
 
 def hash_trace_rows(lde_dev):

@@ -99,12 +99,15 @@ class TraceTable:
 
     def build_merkle_tree(self, hash_name):
         import os
-        if (os.environ.get("DISTAFF_DEVICE_HASH") == "1"
-                and hash_name == "blake3" and self.register_count() * 16 <= 1024):
-            # opt-in: hash rows on device, transferring 32-byte digests
-            # instead of R*16-byte rows.  Disabled by default until the
-            # compression graph is reformulated as loops - XLA compiles the
-            # unrolled G-function chains too slowly.
+        row_bytes = self.register_count() * 16
+        total_bytes = self.domain_size() * row_bytes
+        if (os.environ.get("DISTAFF_DEVICE_HASH", "1") != "0"
+                and hash_name == "blake3" and row_bytes <= 1024
+                and total_bytes > 16 * 1024 * 1024):
+            # hash rows on device (loop-formulated compression), transferring
+            # 32-byte digests instead of R*16-byte rows; worthwhile once the
+            # raw-row transfer would exceed ~16 MB.  DISTAFF_DEVICE_HASH=0
+            # forces host hashing.
             from ..ops.blake3_jax import hash_trace_rows
             leaves = hash_trace_rows(self.lde_dev)
             if leaves is not None:
