@@ -17,6 +17,7 @@ src/stark/README.md), re-architected for the TPU:
 """
 
 import logging
+import os
 import time
 
 import numpy as np
@@ -266,6 +267,21 @@ def _combine_constraint_polys(evaluator, i_evals, f_evals, t_evals, trace_length
     t_div = _syn_div_expanded_column(t_poly, trace_length, x_last)
 
     combined = (i_div + f_div + t_div) % M
+
+    if os.environ.get("DISTAFF_DEBUG", "0") != "0":
+        # debug-mode degree validation (reference constraint_poly.rs:13-26,
+        # constraint_table.rs:90-112): after dividing out the zero
+        # polynomials, the combined constraint polynomial must have degree
+        # exactly |D_ev| - |D_trace| = 7n, i.e. every higher coefficient of
+        # the length-8n coefficient vector must vanish.
+        expected = n_ev - trace_length
+        high = np.nonzero(combined[expected + 1:])[0]
+        assert len(high) == 0, (
+            f"constraint polynomial degree exceeds {expected}: nonzero "
+            f"coefficients at {expected + 1 + high[:3]}")
+        assert combined[expected] != 0, (
+            f"constraint polynomial degree is below the expected {expected}")
+
     return fj.from_ints(combined)
 
 

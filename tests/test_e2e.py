@@ -40,6 +40,18 @@ def test_serde_roundtrip(toy_proof):
     assert distaff_tpu.verify(program.hash, inputs.get_public_inputs(), outputs, proof2)
 
 
+def test_debug_degree_validation(monkeypatch):
+    # DISTAFF_DEBUG turns on the constraint-polynomial degree assertion
+    # (reference constraint_poly.rs:13-26); an honest trace must pass it
+    monkeypatch.setenv("DISTAFF_DEBUG", "1")
+    program = assembly.compile("begin push.7 push.11 mul end")
+    inputs = ProgramInputs.none()
+    options = ProofOptions(extension_factor=16, num_queries=10, grinding_factor=2)
+    outputs, proof = distaff_tpu.execute(program, inputs, 1, options)
+    assert outputs == [77]
+    assert distaff_tpu.verify(program.hash, inputs.get_public_inputs(), outputs, proof)
+
+
 def test_sharded_dryrun():
     # virtual multi-device mesh comes from conftest's XLA_FLAGS
     import jax
