@@ -38,6 +38,9 @@ class Evaluator:
         self.t_constraint_num = len(t_constraint_degrees)
         self.t_degree_groups = group_transition_constraints(t_constraint_degrees, trace_length)
 
+        self.ctx_depth = ctx_depth
+        self.loop_depth = loop_depth
+        self.stack_depth = stack_depth
         self.b_constraint_num = PROGRAM_DIGEST_SIZE + len(inputs) + len(outputs) + 1
         self.program_hash = list(program_hash)
         self.op_count = op_count
@@ -126,6 +129,58 @@ class Evaluator:
         return result
 
     # boundary constraints ------------------------------------------------------------------------
+
+    def boundary_weight_vectors(self, register_count):
+        """Boundary constraint combinations regrouped as weighted register sums.
+
+        The combined column over any domain is
+            sum_r w1[r] * T_r(x) + c1 + x^b_degree_adj * (sum_r w2[r] * T_r(x) + c2)
+        which is bit-identical to `evaluate_boundaries` (reference
+        evaluator.rs:181-326) with the constant boundary values folded into
+        c1/c2 - the form the prover evaluates on device with two fused
+        register reductions.  Returns ((w1, w2, c1, c2) for the first-step
+        combination, same tuple for the last step).
+        """
+        from ...config import SPONGE_WIDTH
+        from ..trace_state import NUM_OP_BITS
+
+        def build(cc, op_counter_v, sponge_v, op_bits_v, user_v):
+            w1 = [0] * register_count
+            w2 = [0] * register_count
+            c1 = 0
+            c2 = 0
+
+            def term(reg, pair, value):
+                nonlocal c1, c2
+                if reg is not None:
+                    w1[reg] = pair[0]
+                    w2[reg] = pair[1]
+                if value:
+                    c1 = (c1 - value * pair[0]) % M
+                    c2 = (c2 - value * pair[1]) % M
+
+            term(0, cc.op_counter, op_counter_v)
+            for i, v in enumerate(sponge_v):
+                term(1 + i, cc.sponge[2 * i : 2 * i + 2], v)
+            for k in range(NUM_OP_BITS):
+                term(5 + k, cc.op_bits[2 * k : 2 * k + 2], op_bits_v)
+            base = 5 + NUM_OP_BITS
+            for i in range(self.ctx_depth):
+                term(base + i, cc.ctx_stack[2 * i : 2 * i + 2], 0)
+            base += self.ctx_depth
+            for i in range(self.loop_depth):
+                term(base + i, cc.loop_stack[2 * i : 2 * i + 2], 0)
+            base += self.loop_depth
+            for i, v in enumerate(user_v):
+                reg = base + i if i < self.stack_depth else None
+                term(reg, cc.user_stack[2 * i : 2 * i + 2], v)
+            return w1, w2, c1, c2
+
+        i_parts = build(self.coefficients.i_boundary,
+                        0, [0] * SPONGE_WIDTH, 0, self.inputs)
+        f_parts = build(self.coefficients.f_boundary,
+                        self.op_count, self.program_hash, 1, self.outputs)
+        return i_parts, f_parts
 
     def evaluate_boundaries(self, current, xp):
         """Combined boundary constraints at the first/last step.

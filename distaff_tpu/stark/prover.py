@@ -141,27 +141,12 @@ def _evaluate_constraints_columnar(evaluator, trace, debug_check=True):
     def xp_indices(p):
         return ((j * np.uint64(p % n_ev)) % np.uint64(n_ev)).astype(np.int64)
 
-    # boundary constraints are evaluated on host object columns; they only
-    # touch the decoder registers and IO-constrained stack slots, so with the
-    # native transition path we convert just those columns
     use_native = native.available()
-    n_needed = 15 + trace.ctx_depth + trace.loop_depth + min(trace.stack_depth, 8)
-    if not use_native:
-        n_needed = trace_u32.shape[0]
-    obj = trace_u32[:n_needed].astype(object)
-    columns = [
-        obj[i, :, 0] | (obj[i, :, 1] << 32) | (obj[i, :, 2] << 64) | (obj[i, :, 3] << 96)
-        for i in range(n_needed)
-    ]
-    columns += [np.zeros(n_ev, dtype=object)] * (trace_u32.shape[0] - n_needed)
-    current = TraceState.from_vec(
-        trace.ctx_depth, trace.loop_depth, trace.stack_depth, columns)
-    P_obj = fj.to_ints(P_u32)
-    xp_b = P_obj[xp_indices(evaluator.b_degree_adj)]
-    i_evals, f_evals = evaluator.evaluate_boundaries(current, xp_b)
 
-    # transition constraints: native columnar sweep when available
+    # transition constraints: native columnar sweep when available; boundary
+    # columns become two fused weighted register sums on device
     if use_native:
+        i_evals, f_evals = _evaluate_boundaries_device(evaluator, trace, stride)
         xp_u32 = np.stack(
             [P_u32[xp_indices(incr)] for incr, _ in evaluator.t_degree_groups])
         t_u32 = native.eval_transition(
@@ -175,6 +160,18 @@ def _evaluate_constraints_columnar(evaluator, trace, debug_check=True):
             assert len(bad) == 0, f"transition constraints not satisfied at step {bad[:3]}"
         return i_evals, f_evals, t_u32
 
+    # fallback path: host object columns through the polymorphic AIR
+    obj = trace_u32.astype(object)
+    columns = [
+        obj[i, :, 0] | (obj[i, :, 1] << 32) | (obj[i, :, 2] << 64) | (obj[i, :, 3] << 96)
+        for i in range(trace_u32.shape[0])
+    ]
+    current = TraceState.from_vec(
+        trace.ctx_depth, trace.loop_depth, trace.stack_depth, columns)
+    P_obj = fj.to_ints(P_u32)
+    xp_b = P_obj[xp_indices(evaluator.b_degree_adj)]
+    i_evals, f_evals = evaluator.evaluate_boundaries(current, xp_b)
+
     next_cols = [np.roll(c, -MAX_CONSTRAINT_DEGREE) for c in columns]
     next_state = TraceState.from_vec(
         trace.ctx_depth, trace.loop_depth, trace.stack_depth, next_cols)
@@ -187,6 +184,36 @@ def _evaluate_constraints_columnar(evaluator, trace, debug_check=True):
         assert len(bad) == 0, f"transition constraints not satisfied at step {bad[:3]}"
 
     return i_evals, f_evals, t_evals
+
+
+def _evaluate_boundaries_device(evaluator, trace, stride):
+    """Boundary constraint columns over D_ev computed on device.
+
+    The combined first/last-step boundary columns are weighted register sums
+    plus transcript constants (evaluator.boundary_weight_vectors), so each is
+    two fused (R, n_ev, 4) x (R, 4) reductions and one multiply by the
+    x^b_degree_adj power series - bit-identical to the reference's per-step
+    loop (evaluator.rs:181-326) without any host big-int work.
+    """
+    n_ev = evaluator.domain_size
+    lde = trace.lde_dev[:, ::stride, :]                      # (R, n_ev, 4)
+    r_ev = field.get_root_of_unity(n_ev)
+    xp = fj.power_series_dev(
+        fj.constant(field.exp(r_ev, evaluator.b_degree_adj)), n_ev)
+
+    i_parts, f_parts = evaluator.boundary_weight_vectors(lde.shape[0])
+
+    def combine(parts):
+        w1, w2, c1, c2 = parts
+        s1 = _weighted_register_sum(lde, fj.from_ints(np.array(w1, dtype=object)))
+        s2 = _weighted_register_sum(lde, fj.from_ints(np.array(w2, dtype=object)))
+        base = fj.add(s1, jnp.broadcast_to(fj.constant(c1), (n_ev, 4)))
+        adj = fj.add(s2, jnp.broadcast_to(fj.constant(c2), (n_ev, 4)))
+        return fj.add(base, fj.mul(xp, adj))
+
+    i_col = combine(i_parts)
+    f_col = combine(f_parts)
+    return np.asarray(i_col), np.asarray(f_col)
 
 
 # ------------------------------------------------------------------------------------------------
