@@ -272,10 +272,54 @@ def _object_powers(b, n):
     return result
 
 
-def _combine_constraint_polys(evaluator, i_evals, f_evals, t_evals, trace_length):
-    """iNTT each combined column, divide by its zero-polynomial, and sum.
+def _incl_suffix_sums(w, axis=0):
+    """s_i = sum_{j >= i} w_j along an axis (device, log-depth scan)."""
+    return jnp.flip(fj.cumsum(jnp.flip(w, axis=axis), axis=axis), axis=axis)
 
-    Returns the constraint polynomial as a (n_ev, 4) device limb array."""
+
+def _syn_div_dev(poly, b):
+    """Device division of a polynomial by (x - b), b a root-of-unity power.
+
+    Same power-weighted suffix-sum reformulation as _syn_div_column:
+    T_i = b^{-i} * sum_{j >= i} a_j b^j and result[i] = T_{i+1}.  The b and
+    1/b power series take traced bases to stay off XLA's compile-time
+    constant folder."""
+    n = poly.shape[0]
+    zero = jnp.zeros((1, 4), dtype=jnp.uint32)
+    if b == 1:
+        s = _incl_suffix_sums(poly)
+        return jnp.concatenate([s[1:], zero])
+    w = fj.mul(poly, fj.power_series_dev(fj.constant(b), n))
+    s = _incl_suffix_sums(w)
+    s_next = jnp.concatenate([s[1:], zero])                  # s_{i+1}
+    b_inv = field.inv(b)
+    pbinv = fj.mul(fj.power_series_dev(fj.constant(b_inv), n),
+                   jnp.broadcast_to(fj.constant(b_inv), (n, 4)))  # b^{-(i+1)}
+    return fj.mul(s_next, pbinv)
+
+
+def _syn_div_expanded_dev(poly, degree, exception):
+    """Device division by (x^degree - 1) / (x - exception).
+
+    Quotient by (x^degree - 1) is a stride-`degree` suffix sum; the
+    (x - exception) numerator factor is restored with one shifted
+    multiply-add (mirrors _syn_div_expanded_column)."""
+    n = poly.shape[0]
+    m = n // degree
+    r = _incl_suffix_sums(poly.reshape(m, degree, 4)).reshape(n, 4)
+    zero = jnp.zeros((1, 4), dtype=jnp.uint32)
+    r_ext = jnp.concatenate([r, zero])                       # length n+1
+    r_shift = jnp.concatenate([zero, r])
+    neg_e = fj.constant(field.neg(exception))
+    prod = fj.add(fj.mul(r_ext, jnp.broadcast_to(neg_e, (n + 1, 4))), r_shift)
+    count = n - degree + 1
+    out = jnp.zeros((n, 4), dtype=jnp.uint32)
+    return out.at[:count].set(prod[degree : degree + count])
+
+
+def _combine_constraint_polys(evaluator, i_evals, f_evals, t_evals, trace_length):
+    """iNTT each combined column, divide by its zero-polynomial, and sum -
+    all on device.  Returns the constraint polynomial as (n_ev, 4) limbs."""
     n_ev = evaluator.domain_size
     ev_root = field.get_root_of_unity(n_ev)
 
@@ -284,18 +328,19 @@ def _combine_constraint_polys(evaluator, i_evals, f_evals, t_evals, trace_length
             return jnp.asarray(evals)
         return fj.from_ints(np.asarray(evals, dtype=object))
 
-    i_poly = fj.to_ints(np.asarray(fj.intt(_to_limbs(i_evals), ev_root)))
-    f_poly = fj.to_ints(np.asarray(fj.intt(_to_limbs(f_evals), ev_root)))
-    t_poly = fj.to_ints(np.asarray(fj.intt(_to_limbs(t_evals), ev_root)))
+    i_poly = fj.intt(_to_limbs(i_evals), ev_root)
+    f_poly = fj.intt(_to_limbs(f_evals), ev_root)
+    t_poly = fj.intt(_to_limbs(t_evals), ev_root)
 
     x_last = evaluator.get_x_at_last_step()
-    i_div = _syn_div_column(i_poly, 1)
-    f_div = _syn_div_column(f_poly, x_last)
-    t_div = _syn_div_expanded_column(t_poly, trace_length, x_last)
+    i_div = _syn_div_dev(i_poly, 1)
+    f_div = _syn_div_dev(f_poly, x_last)
+    t_div = _syn_div_expanded_dev(t_poly, trace_length, x_last)
 
-    combined = (i_div + f_div + t_div) % M
+    combined_dev = fj.add(fj.add(i_div, f_div), t_div)
 
     if os.environ.get("DISTAFF_DEBUG", "0") != "0":
+        combined = fj.to_ints(np.asarray(combined_dev))
         # debug-mode degree validation (reference constraint_poly.rs:13-26,
         # constraint_table.rs:90-112): after dividing out the zero
         # polynomials, the combined constraint polynomial must have degree
@@ -309,7 +354,7 @@ def _combine_constraint_polys(evaluator, i_evals, f_evals, t_evals, trace_length
         assert combined[expected] != 0, (
             f"constraint polynomial degree is below the expected {expected}")
 
-    return fj.from_ints(combined)
+    return combined_dev
 
 
 # ------------------------------------------------------------------------------------------------

@@ -116,3 +116,37 @@ def test_query_positions_deterministic():
     assert len(p1) == 20
     assert all(p % 16 != 0 for p in p1)  # trace-step positions skipped
     assert len(set(p1)) == 20
+
+
+def test_syn_div_device_matches_host():
+    # device synthetic divisions must agree with the host object-array
+    # oracles (which themselves mirror reference polynom.rs:190-236)
+    import numpy as np
+    from distaff_tpu.math import field, field_jax as fj
+    from distaff_tpu.stark.prover import (
+        _syn_div_column, _syn_div_expanded_column, _syn_div_dev,
+        _syn_div_expanded_dev)
+
+    rng = np.random.default_rng(11)
+    n = 256
+    trace_len = 32
+    root = field.get_root_of_unity(n)
+    x_last = field.exp(field.get_root_of_unity(trace_len), trace_len - 1)
+
+    # a polynomial divisible by (x - 1), (x - x_last) and (x^t - 1)/(x - x_last):
+    # multiply a random poly by the full zero-poly (x^t - 1)
+    base = [int(x) for x in rng.integers(1, 2**63, n - trace_len)]
+    coeffs = np.zeros(n, dtype=object)
+    for i, c in enumerate(base):
+        coeffs[i + trace_len] = (coeffs[i + trace_len] + c) % field.M
+        coeffs[i] = (coeffs[i] - c) % field.M
+
+    dev = fj.from_ints(coeffs)
+    for b in (1, x_last):
+        host = _syn_div_column(coeffs.copy(), b)
+        got = fj.to_ints(np.asarray(_syn_div_dev(dev, b)))
+        assert np.array_equal(got, host), f"syn_div mismatch for b={b}"
+
+    host = _syn_div_expanded_column(coeffs.copy(), trace_len, x_last)
+    got = fj.to_ints(np.asarray(_syn_div_expanded_dev(dev, trace_len, x_last)))
+    assert np.array_equal(got, host)
