@@ -28,7 +28,7 @@ def execute(program, inputs, num_outputs, options):
 
     from . import native
     if native.available():
-        trace_registers, ctx_depth, loop_depth = native.execute(program, inputs)
+        trace_registers, ctx_depth, loop_depth = native.execute_u64(program, inputs)
     else:
         trace_registers, ctx_depth, loop_depth = processor.execute(program, inputs)
     trace = TraceTable(trace_registers, ctx_depth, loop_depth, options.extension_factor())

@@ -98,6 +98,17 @@ def serialize_program(program):
 
 def execute(program, inputs):
     """Native trace generation; same contract as processor.execute."""
+    arr, ctx, loop = execute_u64(program, inputs)
+    obj = arr.astype(object)
+    cols = obj[..., 0] | (obj[..., 1] << 64)
+    registers = [list(cols[i]) for i in range(arr.shape[0])]
+    return registers, ctx, loop
+
+
+def execute_u64(program, inputs):
+    """Native trace generation returning raw (R, n, 2) uint64 register words
+    (little-endian u128 halves) - the zero-conversion input format for
+    TraceTable, avoiding R*n Python ints on the way to the device."""
     assert _lib is not None
     blob = serialize_program(program)
     pub = b"".join(int(v).to_bytes(16, "little") for v in inputs.get_public_inputs())
@@ -123,11 +134,7 @@ def execute(program, inputs):
     raw = ctypes.cast(out_buf, ctypes.POINTER(ctypes.c_uint8 * (n_regs * n * 16)))
     arr = np.frombuffer(bytearray(raw.contents), dtype=np.uint64).reshape(n_regs, n, 2)
     _lib.dt_free(out_buf)
-
-    obj = arr.astype(object)
-    cols = obj[..., 0] | (obj[..., 1] << 64)
-    registers = [list(cols[i]) for i in range(n_regs)]
-    return registers, out_ctx.value, out_loop.value
+    return arr, out_ctx.value, out_loop.value
 
 
 def blake3_batch(data: np.ndarray) -> np.ndarray:

@@ -24,20 +24,33 @@ from .trace_state import TraceState, compute_decoder_width
 
 class TraceTable:
     def __init__(self, registers, ctx_depth, loop_depth, extension_factor):
+        """`registers` is either a list of host int columns (python executor)
+        or an (R, n, 2) uint64 array of little-endian u128 halves straight
+        from the native VM (native.execute_u64) - the latter reaches the
+        device with a pure view-cast, no per-element conversion."""
         assert extension_factor & (extension_factor - 1) == 0
         assert extension_factor >= MIN_EXTENSION_FACTOR
         assert ctx_depth <= MAX_CONTEXT_DEPTH
         assert loop_depth <= MAX_LOOP_DEPTH
 
-        decoder_width = compute_decoder_width(ctx_depth, loop_depth)
-        assert len(registers) > decoder_width, "user stack must have at least one register"
-        self.stack_depth = len(registers) - decoder_width
-        assert len(registers) < MAX_REGISTER_COUNT
+        if isinstance(registers, np.ndarray):
+            assert registers.ndim == 3 and registers.dtype == np.uint64
+            self.registers_u64 = registers
+            reg_count = registers.shape[0]
+            self.trace_length = registers.shape[1]
+        else:
+            self.registers_u64 = None
+            reg_count = len(registers)
+            self.trace_length = len(registers[0])
+            for r in registers:
+                assert len(r) == self.trace_length
 
-        self.trace_length = len(registers[0])
+        decoder_width = compute_decoder_width(ctx_depth, loop_depth)
+        assert reg_count > decoder_width, "user stack must have at least one register"
+        self.stack_depth = reg_count - decoder_width
+        assert reg_count < MAX_REGISTER_COUNT
+        self._register_count = reg_count
         assert self.trace_length & (self.trace_length - 1) == 0
-        for r in registers:
-            assert len(r) == self.trace_length
 
         self.registers = registers          # host int columns (unextended)
         self.ctx_depth = ctx_depth
@@ -56,7 +69,7 @@ class TraceTable:
         return self.trace_length * self.extension_factor
 
     def register_count(self):
-        return len(self.registers)
+        return self._register_count
 
     def is_extended(self):
         return self.lde_dev is not None
@@ -64,10 +77,14 @@ class TraceTable:
     # states --------------------------------------------------------------------------------------
 
     def get_state(self, step):
+        if self.registers_u64 is not None:
+            row = self.registers_u64[:, step, :]
+            values = [int(row[i, 0]) | (int(row[i, 1]) << 64)
+                      for i in range(row.shape[0])]
+        else:
+            values = [r[step] for r in self.registers]
         return TraceState.from_vec(
-            self.ctx_depth, self.loop_depth, self.stack_depth,
-            [r[step] for r in self.registers],
-        )
+            self.ctx_depth, self.loop_depth, self.stack_depth, values)
 
     def get_last_state(self):
         return self.get_state(self.trace_length - 1)
@@ -79,7 +96,13 @@ class TraceTable:
         n = self.trace_length
         domain = self.domain_size()
 
-        regs = fj.from_ints(np.array(self.registers, dtype=object))  # (R, N, 4)
+        if self.registers_u64 is not None:
+            # LE u64 halves view-cast to LE u32 limbs - zero conversion work
+            regs = jnp.asarray(
+                np.ascontiguousarray(self.registers_u64).view(np.uint32)
+                .reshape(self._register_count, n, 4))
+        else:
+            regs = fj.from_ints(np.array(self.registers, dtype=object))  # (R, N, 4)
         intt_v = jax.vmap(lambda v: fj.intt(v))
         polys = intt_v(regs)
         padded = jnp.zeros((polys.shape[0], domain, 4), dtype=jnp.uint32)
