@@ -34,6 +34,9 @@ if os.environ.get("DISTAFF_NATIVE", "1") != "0" and os.path.exists(_LIB_PATH):
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_char_p]
         _lib.dt_merkle_nodes.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p]
+        _lib.dt_sponge_rounds.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_size_t, ctypes.c_size_t]
     except OSError:
         _lib = None
 
@@ -135,6 +138,24 @@ def execute_u64(program, inputs):
     arr = np.frombuffer(bytearray(raw.contents), dtype=np.uint64).reshape(n_regs, n, 2)
     _lib.dt_free(out_buf)
     return arr, out_ctx.value, out_loop.value
+
+
+def sponge_rounds(state, op_codes, op_values, step_offset):
+    """Apply len(op_codes) op-injecting sponge rounds natively.
+
+    state: 4 field elements (ints); op_values aligned with op_codes.
+    Returns the new 4-element state.  Bit-identical to repeated
+    utils.sponge.apply_round - the sequential chain that dominates program
+    hashing when run through Python big-int exponentiation."""
+    assert _lib is not None
+    n = len(op_codes)
+    buf = ctypes.create_string_buffer(
+        b"".join(int(v).to_bytes(16, "little") for v in state), 64)
+    codes = bytes(int(c) & 0xFF for c in op_codes)
+    vals = b"".join(int(v).to_bytes(16, "little") for v in op_values)
+    _lib.dt_sponge_rounds(buf, codes, vals, step_offset, n)
+    raw = buf.raw
+    return [int.from_bytes(raw[i * 16 : (i + 1) * 16], "little") for i in range(4)]
 
 
 def blake3_batch(data: np.ndarray) -> np.ndarray:

@@ -151,6 +151,20 @@ def _repeat_block_sequence(template, num_iterations):
     if not isinstance(template[-1], Span):
         for _ in range(num_iterations):
             body.extend(template)
+    elif len(template) == 1:
+        # single-span loop: pairwise Span.merge would re-copy and re-validate
+        # the accumulated span every iteration (quadratic); build the merged
+        # op/hint lists in one pass instead - same result as folding merge
+        span = template[0]
+        ops = list(span.op_codes)
+        hints = dict(span.op_hints)
+        for _ in range(1, num_iterations):
+            offset = len(ops) + 1
+            ops.append(OpCode.Noop)
+            ops.extend(span.op_codes)
+            for step, hint in span.op_hints.items():
+                hints[step + offset] = hint
+        body.append(Span(ops, hints))
     else:
         body.extend(template)
         for _ in range(1, num_iterations):

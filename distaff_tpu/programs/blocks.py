@@ -51,15 +51,23 @@ class Span:
 
     def hash(self, state):
         """Fold every instruction of this span into the 4-wide sponge."""
-        state = list(state)
+        values = []
         for i, op in enumerate(self.op_codes):
             if op == OpCode.Push:
                 hint = self.get_hint(i)
                 assert hint.kind == "push", "value for PUSH operation is missing"
-                op_value = hint.value
+                values.append(hint.value)
             else:
-                op_value = 0
-            hashing.hash_op(state, int(op), op_value, i)
+                values.append(0)
+
+        from .. import native
+        if native.available():
+            # one native call for the whole sequential round chain
+            return native.sponge_rounds(state, self.op_codes, values, 0)
+
+        state = list(state)
+        for i, op in enumerate(self.op_codes):
+            hashing.hash_op(state, int(op), values[i], i)
         return state
 
     @staticmethod

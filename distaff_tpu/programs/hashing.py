@@ -45,6 +45,11 @@ def hash_op(state, op_code, op_value, step):
 
 def hash_acc(parent_hash, v0, v1):
     state = [parent_hash, v0, v1, 0]
+    from .. import native
+    if native.available():
+        return native.sponge_rounds(
+            state, [NOOP_VALUE] * HACC_NUM_ROUNDS, [0] * HACC_NUM_ROUNDS,
+            HACC_ROUND_OFFSET)
     for i in range(HACC_ROUND_OFFSET, HACC_ROUND_OFFSET + HACC_NUM_ROUNDS):
         hash_op(state, NOOP_VALUE, 0, i)
     return state

@@ -780,4 +780,21 @@ int dt_execute(const uint8_t* blob, size_t blob_len,
 
 void dt_free(void* p) { free(p); }
 
+// Apply `n` op-injecting sponge rounds (utils/sponge.py apply_round,
+// reference src/utils/sponge.rs:13-30) to a 4-element state, steps
+// step_offset .. step_offset+n-1.  state: 64 bytes LE in/out; op_values:
+// n * 16 bytes LE.  Used for program hashing (hash_seq/hash_acc), where
+// the sequential dependency makes Python big-int rounds the bottleneck.
+void dt_sponge_rounds(uint8_t* state_bytes, const uint8_t* op_codes,
+                      const uint8_t* op_values, size_t step_offset, size_t n) {
+    u128 s[4];
+    memcpy(s, state_bytes, 64);
+    for (size_t k = 0; k < n; k++) {
+        u128 v;
+        memcpy(&v, op_values + 16 * k, 16);
+        sponge_round(s, (u128)op_codes[k], v, step_offset + k);
+    }
+    memcpy(state_bytes, s, 64);
+}
+
 }  // extern "C"
