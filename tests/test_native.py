@@ -54,3 +54,20 @@ def test_vm_runtime_failure():
     program = assembly.compile("begin push.0 assert end")
     with pytest.raises(AssertionError):
         native.execute(program, ProgramInputs.none())
+
+
+def test_native_sponge_rounds():
+    if not native.available():
+        import pytest
+        pytest.skip("native library not built")
+    from distaff_tpu.utils import sponge
+    from distaff_tpu.math import field
+
+    state = [3, 5, 7, 11]
+    ops = [96, 97, 98, 15, 247]        # arbitrary op codes incl. PUSH-like
+    vals = [0, 0, field.M - 1, 123456789, 0]
+    expected = list(state)
+    for i, (op, v) in enumerate(zip(ops, vals)):
+        sponge.apply_round(expected, op, v, 2 + i)
+    got = native.sponge_rounds(state, ops, vals, 2)
+    assert got == expected
