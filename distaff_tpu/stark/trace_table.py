@@ -105,10 +105,29 @@ class TraceTable:
             regs = fj.from_ints(np.array(self.registers, dtype=object))  # (R, N, 4)
         intt_v = jax.vmap(lambda v: fj.intt(v))
         polys = intt_v(regs)
-        padded = jnp.zeros((polys.shape[0], domain, 4), dtype=jnp.uint32)
-        padded = padded.at[:, :n, :].set(polys)
+
+        # the vmapped forward NTT holds ~26x the lane size in HLO temps
+        # (measured: 27 lanes x 2^21 domain wanted 21.9 GB on a 16 GB chip);
+        # chunk the register axis so the working set fits, padding the last
+        # chunk so every dispatch reuses one compiled shape
+        import os
+        r_count = polys.shape[0]
+        per_lane = domain * 16 * 26
+        budget = int(os.environ.get("DISTAFF_NTT_BUDGET_BYTES", 6 << 30))
+        group = max(1, min(r_count, budget // per_lane))
         ntt_v = jax.vmap(lambda v: fj.ntt(v))
-        lde = ntt_v(padded)
+        if group >= r_count:
+            padded = jnp.zeros((r_count, domain, 4), dtype=jnp.uint32)
+            padded = padded.at[:, :n, :].set(polys)
+            lde = ntt_v(padded)
+        else:
+            parts = []
+            for lo in range(0, r_count, group):
+                chunk = polys[lo : lo + group]
+                padded = jnp.zeros((group, domain, 4), dtype=jnp.uint32)
+                padded = padded.at[: chunk.shape[0], :n, :].set(chunk)
+                parts.append(ntt_v(padded)[: chunk.shape[0]])
+            lde = jnp.concatenate(parts, axis=0)
 
         self.polys_dev = polys
         self.lde_dev = lde

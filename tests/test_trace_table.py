@@ -46,3 +46,21 @@ def test_last_state_position():
     trace = _build_trace()
     last = trace.get_last_state()
     assert last.op_counter == trace.registers[0][-1]
+
+
+def test_extend_register_chunking(monkeypatch):
+    # a tiny HBM budget forces the chunked NTT path; the LDE must be
+    # identical to the single-dispatch result
+    import numpy as np
+    from distaff_tpu import processor, ProgramInputs, assembly
+    from distaff_tpu.stark.trace_table import TraceTable
+
+    program = assembly.compile("begin push.3 push.5 add dup mul end")
+    regs, cd, ld = processor.execute(program, ProgramInputs.none())
+
+    t1 = TraceTable(regs, cd, ld, 16)
+    t1.extend()
+    monkeypatch.setenv("DISTAFF_NTT_BUDGET_BYTES", str(1 << 20))
+    t2 = TraceTable(regs, cd, ld, 16)
+    t2.extend()
+    assert np.array_equal(np.asarray(t1.lde_dev), np.asarray(t2.lde_dev))
