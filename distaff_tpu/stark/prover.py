@@ -205,8 +205,8 @@ def _evaluate_boundaries_device(evaluator, trace, stride):
 
     def combine(parts):
         w1, w2, c1, c2 = parts
-        s1 = _weighted_register_sum(lde, fj.from_ints(np.array(w1, dtype=object)))
-        s2 = _weighted_register_sum(lde, fj.from_ints(np.array(w2, dtype=object)))
+        s1 = _weighted_register_sum_chunked(lde, fj.from_ints(np.array(w1, dtype=object)))
+        s2 = _weighted_register_sum_chunked(lde, fj.from_ints(np.array(w2, dtype=object)))
         base = fj.add(s1, jnp.broadcast_to(fj.constant(c1), (n_ev, 4)))
         adj = fj.add(s2, jnp.broadcast_to(fj.constant(c2), (n_ev, 4)))
         return fj.add(base, fj.mul(xp, adj))
@@ -382,6 +382,30 @@ def _weighted_register_sum(lde, weights):
     products = fj.mul(lde, weights[:, None, :])
     return fj.sum_reduce(products, axis=0)
 
+
+def _weighted_register_sum_chunked(lde, weights):
+    """_weighted_register_sum with the register axis chunked to bound HBM
+    temporaries at multi-GB domains (same budget logic as the LDE NTT);
+    partial sums add up to the identical field result."""
+    r_count, d = lde.shape[0], lde.shape[1]
+    per_lane = d * 16 * 12
+    budget = int(os.environ.get("DISTAFF_NTT_BUDGET_BYTES", 6 << 30))
+    group = max(1, min(r_count, budget // per_lane))
+    if group >= r_count:
+        return _weighted_register_sum(lde, weights)
+    total = None
+    for lo in range(0, r_count, group):
+        chunk = lde[lo : lo + group]
+        w = weights[lo : lo + group]
+        if chunk.shape[0] < group:  # pad to reuse the compiled shape
+            pad = group - chunk.shape[0]
+            chunk = jnp.concatenate(
+                [chunk, jnp.zeros((pad, d, 4), dtype=jnp.uint32)])
+            w = jnp.concatenate([w, jnp.zeros((pad, 4), dtype=jnp.uint32)])
+        part = _weighted_register_sum(chunk, w)
+        total = part if total is None else fj.add(total, part)
+    return total
+
 def _build_composition_evaluations(trace, constraint_poly, constraint_lde, z, cc):
     n = trace.domain_size()
     trace_length = trace.unextended_length()
@@ -398,8 +422,8 @@ def _build_composition_evaluations(trace, constraint_poly, constraint_lde, z, cc
     r_count = trace.register_count()
     w1 = fj.from_ints(np.array(cc.trace1[:r_count], dtype=object))  # (R, 4)
     w2 = fj.from_ints(np.array(cc.trace2[:r_count], dtype=object))
-    a1 = _weighted_register_sum(lde, w1)
-    a2 = _weighted_register_sum(lde, w2)
+    a1 = _weighted_register_sum_chunked(lde, w1)
+    a2 = _weighted_register_sum_chunked(lde, w2)
     s1 = 0
     s2 = 0
     for i in range(r_count):
