@@ -134,12 +134,9 @@ def _evaluate_constraints_columnar(evaluator, trace, debug_check=True):
     stride = trace.extension_factor // MAX_CONSTRAINT_DEGREE
     n_ev = evaluator.domain_size
 
-    trace_u32 = np.ascontiguousarray(np.asarray(trace.lde_dev)[:, ::stride, :])
-    P_u32 = np.asarray(fj.power_series(field.get_root_of_unity(n_ev), n_ev))
-    j = np.arange(n_ev, dtype=np.uint64)
-
-    def xp_indices(p):
-        return ((j * np.uint64(p % n_ev)) % np.uint64(n_ev)).astype(np.int64)
+    # stride-slice on device so only n_ev rows cross the link, not the
+    # full LDE domain
+    trace_u32 = np.ascontiguousarray(np.asarray(trace.lde_dev[:, ::stride, :]))
 
     use_native = native.available()
 
@@ -147,8 +144,14 @@ def _evaluate_constraints_columnar(evaluator, trace, debug_check=True):
     # columns become two fused weighted register sums on device
     if use_native:
         i_evals, f_evals = _evaluate_boundaries_device(evaluator, trace, stride)
-        xp_u32 = np.stack(
-            [P_u32[xp_indices(incr)] for incr, _ in evaluator.t_degree_groups])
+        # x^incr over the evaluation domain is the power series of r^incr -
+        # computed on device per degree group instead of gathering a host
+        # copy of the full domain power table
+        root_ev = field.get_root_of_unity(n_ev)
+        xp_u32 = np.stack([
+            np.asarray(fj.power_series_dev(
+                fj.constant(field.exp(root_ev, incr)), n_ev))
+            for incr, _ in evaluator.t_degree_groups])
         t_u32 = native.eval_transition(
             trace_u32, trace.ctx_depth, trace.loop_depth, trace.stack_depth,
             evaluator.decoder.ark_rows, evaluator.decoder.mask_rows,
@@ -161,6 +164,12 @@ def _evaluate_constraints_columnar(evaluator, trace, debug_check=True):
         return i_evals, f_evals, t_u32
 
     # fallback path: host object columns through the polymorphic AIR
+    P_u32 = np.asarray(fj.power_series(field.get_root_of_unity(n_ev), n_ev))
+    j = np.arange(n_ev, dtype=np.uint64)
+
+    def xp_indices(p):
+        return ((j * np.uint64(p % n_ev)) % np.uint64(n_ev)).astype(np.int64)
+
     obj = trace_u32.astype(object)
     columns = [
         obj[i, :, 0] | (obj[i, :, 1] << 32) | (obj[i, :, 2] << 64) | (obj[i, :, 3] << 96)
