@@ -3,6 +3,7 @@
 """
 
 import numpy as np
+import jax.numpy as jnp
 
 from ..math import field, quartic, polynom
 from ..math import field_jax as fj
@@ -33,6 +34,13 @@ class FriProof:
 def _hash_rows(rows_dev, hash_name):
     """Hash (q, 4, 4limbs) rows -> (q, 32) leaf array: row bytes are the
     u128 LE concatenation, which the u32-limb layout already is."""
+    q = rows_dev.shape[0]
+    if hash_name == "blake3" and q * 64 > 16 * 1024 * 1024:
+        # large layers hash on device: 32-byte digests cross the link
+        # instead of the 64-byte rows (and skip the host pass entirely)
+        from ..ops.blake3_jax import hash_rows_u32
+        digests = hash_rows_u32(rows_dev.reshape(q, 16), 64)
+        return np.ascontiguousarray(np.asarray(digests)).view(np.uint8).reshape(q, 32)
     arr = np.asarray(rows_dev)
     rows_bytes = np.ascontiguousarray(arr).reshape(arr.shape[0], -1).view(np.uint8)
     if hash_name == "blake3":
@@ -89,8 +97,11 @@ def build_proof(trees, values, positions):
         positions = get_augmented_positions(positions, domain_size)
         tree = trees[i]
         proof = tree.prove_batch(positions)
-        rows_host = fj.to_ints(np.asarray(values[i]))  # (q, 4) object
-        queried = [[int(v) for v in rows_host[p]] for p in positions]
+        # gather only the queried rows on device - the full layer is
+        # O(domain) and never needed on host
+        idx = jnp.asarray(np.array(positions, dtype=np.int64))
+        rows_host = fj.to_ints(np.asarray(values[i][idx]))  # (Q, 4) object
+        queried = [[int(v) for v in rows_host[k]] for k in range(len(positions))]
         layers.append(FriLayer(tree.root(), queried, proof.nodes, proof.depth))
         domain_size //= 4
 
