@@ -107,16 +107,26 @@ def hash_rows_u32(rows_u32, byte_len):
     return cv.T  # (N, 8)
 
 
-def hash_trace_rows(lde_dev):
-    """(R, D, 4) limb LDE -> (D, 32) uint8 leaf digests (host numpy).
+def hash_trace_rows_dev(lde_dev):
+    """(R, D, 4) limb LDE -> (D, 8) uint32 leaf digests, kept on device.
 
     The row byte layout is the transposed limb array: uint32 limbs in
     little-endian order are the u128 LE serialization the reference hashes.
+    Returns None for very wide traces (> 1024-byte rows need multi-chunk
+    BLAKE3, which stays on the host path).
     """
     r, d, _ = lde_dev.shape
     byte_len = r * 16
     if byte_len > 1024:
-        return None  # fall back to host hashing for very wide traces
+        return None
     rows = jnp.transpose(lde_dev, (1, 0, 2)).reshape(d, r * 4)
-    digests = hash_rows_u32(rows, byte_len)
+    return hash_rows_u32(rows, byte_len)
+
+
+def hash_trace_rows(lde_dev):
+    """(R, D, 4) limb LDE -> (D, 32) uint8 leaf digests (host numpy)."""
+    digests = hash_trace_rows_dev(lde_dev)
+    if digests is None:
+        return None
+    d = lde_dev.shape[1]
     return np.ascontiguousarray(np.asarray(digests)).view(np.uint8).reshape(d, 32)

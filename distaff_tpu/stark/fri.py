@@ -31,25 +31,28 @@ class FriProof:
         self.rem_values = rem_values
 
 
-def _hash_rows(rows_dev, hash_name):
-    """Hash (q, 4, 4limbs) rows -> (q, 32) leaf array: row bytes are the
-    u128 LE concatenation, which the u32-limb layout already is."""
+def _build_layer_tree(rows_dev, hash_name):
+    """Commit to (q, 4, 4limbs) rows: row bytes are the u128 LE
+    concatenation, which the u32-limb layout already is.  blake3 layers hash
+    leaves and all tree levels on device (only the root crosses the link)."""
+    import os
     q = rows_dev.shape[0]
-    if hash_name == "blake3" and q * 64 > 16 * 1024 * 1024:
-        # large layers hash on device: 32-byte digests cross the link
-        # instead of the 64-byte rows (and skip the host pass entirely)
+    if hash_name == "blake3" and os.environ.get("DISTAFF_DEVICE_HASH", "1") != "0":
         from ..ops.blake3_jax import hash_rows_u32
+        from ..crypto.merkle_dev import DeviceMerkleTree
         digests = hash_rows_u32(rows_dev.reshape(q, 16), 64)
-        return np.ascontiguousarray(np.asarray(digests)).view(np.uint8).reshape(q, 32)
+        return DeviceMerkleTree(digests)
     arr = np.asarray(rows_dev)
     rows_bytes = np.ascontiguousarray(arr).reshape(arr.shape[0], -1).view(np.uint8)
     if hash_name == "blake3":
-        return blake3_batch(rows_bytes)
-    hash_fn = hashes.HASH_FUNCTIONS[hash_name]
-    return np.array(
-        [np.frombuffer(hash_fn(rows_bytes[i].tobytes()), dtype=np.uint8)
-         for i in range(rows_bytes.shape[0])]
-    )
+        leaves = blake3_batch(rows_bytes)
+    else:
+        hash_fn = hashes.HASH_FUNCTIONS[hash_name]
+        leaves = np.array(
+            [np.frombuffer(hash_fn(rows_bytes[i].tobytes()), dtype=np.uint8)
+             for i in range(rows_bytes.shape[0])]
+        )
+    return MerkleTree(leaves, hash_name)
 
 
 def reduce(evaluations_dev, domain_root, options):
@@ -67,7 +70,7 @@ def reduce(evaluations_dev, domain_root, options):
     value_results = []
 
     p_values = fri_jax.transpose_quartic(evaluations_dev, 1)
-    p_tree = MerkleTree(_hash_rows(p_values, hash_name), hash_name)
+    p_tree = _build_layer_tree(p_values, hash_name)
 
     depth = 0
     while p_values.shape[0] * 4 > MAX_REMAINDER_LENGTH:
@@ -76,7 +79,7 @@ def reduce(evaluations_dev, domain_root, options):
         column = fri_jax.fold_rows(p_values, xs, fj.constant(special_x))
 
         c_values = fri_jax.transpose_quartic(column, 1)
-        c_tree = MerkleTree(_hash_rows(c_values, hash_name), hash_name)
+        c_tree = _build_layer_tree(c_values, hash_name)
 
         tree_results.append(p_tree)
         value_results.append(p_values)

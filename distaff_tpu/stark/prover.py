@@ -373,6 +373,10 @@ def _combine_constraint_polys(evaluator, i_evals, f_evals, t_evals, trace_length
 def _build_constraint_tree(constraint_lde, hash_name):
     """Two evaluations (32 raw bytes) per leaf - unlike the trace tree, the
     leaves are the evaluation bytes themselves (reference prover.rs:84-86)."""
+    if hash_name == "blake3" and os.environ.get("DISTAFF_DEVICE_HASH", "1") != "0":
+        from ..crypto.merkle_dev import DeviceMerkleTree
+        leaves = constraint_lde.reshape(constraint_lde.shape[0] // 2, 8)
+        return DeviceMerkleTree(leaves)
     arr = np.ascontiguousarray(np.asarray(constraint_lde))  # (D, 4) u32
     leaves_bytes = arr.reshape(arr.shape[0] // 2, 8).view(np.uint8)  # (D/2, 32)
     return MerkleTree(leaves_bytes, hash_name)

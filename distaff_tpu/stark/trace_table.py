@@ -142,18 +142,17 @@ class TraceTable:
     def build_merkle_tree(self, hash_name):
         import os
         row_bytes = self.register_count() * 16
-        total_bytes = self.domain_size() * row_bytes
         if (os.environ.get("DISTAFF_DEVICE_HASH", "1") != "0"
-                and hash_name == "blake3" and row_bytes <= 1024
-                and total_bytes > 16 * 1024 * 1024):
-            # hash rows on device (loop-formulated compression), transferring
-            # 32-byte digests instead of R*16-byte rows; worthwhile once the
-            # raw-row transfer would exceed ~16 MB.  DISTAFF_DEVICE_HASH=0
-            # forces host hashing.
-            from ..ops.blake3_jax import hash_trace_rows
-            leaves = hash_trace_rows(self.lde_dev)
+                and hash_name == "blake3" and row_bytes <= 1024):
+            # leaf digests AND every tree level are hashed on the device
+            # (loop-formulated BLAKE3 compression); only the 32-byte root and
+            # the eventual query openings cross the (slow) host link.
+            # DISTAFF_DEVICE_HASH=0 forces host hashing.
+            from ..ops.blake3_jax import hash_trace_rows_dev
+            from ..crypto.merkle_dev import DeviceMerkleTree
+            leaves = hash_trace_rows_dev(self.lde_dev)
             if leaves is not None:
-                return MerkleTree(leaves, hash_name)
+                return DeviceMerkleTree(leaves)
         rows = self.lde_rows_bytes()
         if hash_name == "blake3":
             leaves = blake3_batch(rows)
