@@ -42,6 +42,11 @@ class DeviceMerkleTree:
             levels.append(cur)
             size //= 2
         self.levels = levels
+        # flat device copy in reference node order (root at index 1, node i's
+        # children at 2i/2i+1): one gather + one transfer serves a whole batch
+        # opening instead of a round-trip per tree level
+        self.flat_nodes = jnp.concatenate(
+            [jnp.zeros((1, 8), dtype=jnp.uint32)] + levels[::-1])
         self._root = np.ascontiguousarray(np.asarray(levels[-1][0])).tobytes()
 
     # interface parity with crypto.merkle.MerkleTree -----------------------------------------------
@@ -55,30 +60,14 @@ class DeviceMerkleTree:
     def leaf_count(self):
         return self.n
 
-    def _node_level_offset(self, node_index):
-        """Flat node index (root=1) -> (level-from-bottom, offset)."""
-        depth = node_index.bit_length() - 1           # root is depth 0
-        num_levels = len(self.levels)                 # log2(n)
-        level = (num_levels - 1) - depth
-        offset = node_index - (1 << depth)
-        return level, offset
-
     def _gather_nodes(self, node_indexes):
         """Fetch internal nodes by flat index in one transfer -> list[bytes]."""
         if not node_indexes:
             return []
-        per_level = {}
-        for pos, ni in enumerate(node_indexes):
-            level, offset = self._node_level_offset(ni)
-            per_level.setdefault(level, []).append((pos, offset))
-        out = [None] * len(node_indexes)
-        for level, items in per_level.items():
-            idx = jnp.asarray(np.array([off for _, off in items], dtype=np.int64))
-            rows = np.ascontiguousarray(np.asarray(self.levels[level][idx]))
-            rows = rows.view(np.uint8).reshape(len(items), 32)
-            for k, (pos, _) in enumerate(items):
-                out[pos] = rows[k].tobytes()
-        return out
+        idx = jnp.asarray(np.array(node_indexes, dtype=np.int64))
+        rows = np.ascontiguousarray(np.asarray(self.flat_nodes[idx]))
+        rows = rows.view(np.uint8).reshape(len(node_indexes), 32)
+        return [rows[k].tobytes() for k in range(len(node_indexes))]
 
     def _gather_leaves(self, leaf_indexes):
         if not leaf_indexes:

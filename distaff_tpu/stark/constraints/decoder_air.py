@@ -191,6 +191,10 @@ def enforce_op_bits(result, current, next_state, masks):
 # ------------------------------------------------------------------------------------------------
 
 def _sponge_mds(state, mds):
+    from ...math.jax_col import is_jax, mds_apply
+
+    if is_jax(*state):
+        return mds_apply(state, mds, SPONGE_WIDTH)
     out = []
     for i in range(SPONGE_WIDTH):
         acc = 0
@@ -200,6 +204,14 @@ def _sponge_mds(state, mds):
     return out
 
 
+def _pow3_all(values):
+    from ...math.jax_col import is_jax, pow3_all
+
+    if is_jax(*values):
+        return pow3_all(values)
+    return [pow_3(v) for v in values]
+
+
 def enforce_hacc(result, current, next_state, ark, op_flag):
     stack_top = next_state.user_stack[0]
     push_flag = current.hd_op_flags()[OpCode.Push.hd_index()]
@@ -207,18 +219,18 @@ def enforce_hacc(result, current, next_state, ark, op_flag):
 
     # forward half-round on the current sponge
     old = [(current.sponge[i] + ark[i]) % M for i in range(SPONGE_WIDTH)]
-    old = [pow_3(v) for v in old]
+    old = _pow3_all(old)
     old = _sponge_mds(old, SPONGE_MDS)
     old[0] = (old[0] + current.op_code()) % M
     old[1] = (old[1] + op_value) % M
 
     # inverse of the second half-round on the next sponge
     new = _sponge_mds(list(next_state.sponge), SPONGE_INV_MDS)
-    new = [pow_3(v) for v in new]
+    new = _pow3_all(new)
     new = [(new[i] - ark[SPONGE_WIDTH + i]) % M for i in range(SPONGE_WIDTH)]
 
-    for i in range(SPONGE_WIDTH):
-        agg(result, i, op_flag, are_equal(old[i], new[i]))
+    utils._agg_many(result, 0, op_flag,
+                    [are_equal(old[i], new[i]) for i in range(SPONGE_WIDTH)])
 
 
 def pow_3(v):
@@ -239,8 +251,7 @@ def _ctx_loop_slices(result, current):
 
 def enforce_begin(result, current, next_state, op_flag):
     new_sponge = next_state.sponge
-    for i in range(4):
-        agg(result, i, op_flag, is_zero(new_sponge[i]))
+    utils._agg_many(result, 0, op_flag, [is_zero(new_sponge[i]) for i in range(4)])
     parent_hash = current.sponge[0]
     ctx_result, loop_result = _ctx_loop_slices(result, current)
     agg(ctx_result, 0, op_flag, are_equal(parent_hash, next_state.ctx_stack[0]))
@@ -252,8 +263,9 @@ def enforce_tend(result, current, next_state, op_flag):
     parent_hash = current.ctx_stack[0]
     block_hash = current.sponge[0]
     new_sponge = next_state.sponge
-    agg(result, 0, op_flag, are_equal(parent_hash, new_sponge[0]))
-    agg(result, 1, op_flag, are_equal(block_hash, new_sponge[1]))
+    utils._agg_many(result, 0, op_flag, [
+        are_equal(parent_hash, new_sponge[0]),
+        are_equal(block_hash, new_sponge[1])])
     # no constraint on sponge[2] (sibling hash)
     agg(result, 3, op_flag, is_zero(new_sponge[3]))
     ctx_result, loop_result = _ctx_loop_slices(result, current)
@@ -276,8 +288,7 @@ def enforce_fend(result, current, next_state, op_flag):
 
 def enforce_loop(result, current, next_state, op_flag):
     new_sponge = next_state.sponge
-    for i in range(4):
-        agg(result, i, op_flag, is_zero(new_sponge[i]))
+    utils._agg_many(result, 0, op_flag, [is_zero(new_sponge[i]) for i in range(4)])
     parent_hash = current.sponge[0]
     ctx_result, loop_result = _ctx_loop_slices(result, current)
     agg(ctx_result, 0, op_flag, are_equal(parent_hash, next_state.ctx_stack[0]))
@@ -288,8 +299,7 @@ def enforce_loop(result, current, next_state, op_flag):
 
 def enforce_wrap(result, current, next_state, op_flag):
     new_sponge = next_state.sponge
-    for i in range(4):
-        agg(result, i, op_flag, is_zero(new_sponge[i]))
+    utils._agg_many(result, 0, op_flag, [is_zero(new_sponge[i]) for i in range(4)])
     loop_image = current.sponge[0]
     agg(result, SPONGE_WIDTH, op_flag, are_equal(loop_image, current.loop_stack[0]))
     ctx_result, loop_result = _ctx_loop_slices(result, current)
@@ -300,8 +310,8 @@ def enforce_wrap(result, current, next_state, op_flag):
 def enforce_break(result, current, next_state, op_flag):
     old_sponge = current.sponge
     new_sponge = next_state.sponge
-    for i in range(SPONGE_WIDTH):
-        agg(result, i, op_flag, are_equal(old_sponge[i], new_sponge[i]))
+    utils._agg_many(result, 0, op_flag, [
+        are_equal(old_sponge[i], new_sponge[i]) for i in range(SPONGE_WIDTH)])
     loop_image = old_sponge[0]
     agg(result, SPONGE_WIDTH, op_flag, are_equal(loop_image, current.loop_stack[0]))
     ctx_result, loop_result = _ctx_loop_slices(result, current)
@@ -312,8 +322,8 @@ def enforce_break(result, current, next_state, op_flag):
 def enforce_void(result, current, next_state, op_flag):
     old_sponge = current.sponge
     new_sponge = next_state.sponge
-    for i in range(SPONGE_WIDTH):
-        agg(result, i, op_flag, are_equal(old_sponge[i], new_sponge[i]))
+    utils._agg_many(result, 0, op_flag, [
+        are_equal(old_sponge[i], new_sponge[i]) for i in range(SPONGE_WIDTH)])
     ctx_result, loop_result = _ctx_loop_slices(result, current)
     utils.enforce_stack_copy(ctx_result, current.ctx_stack, next_state.ctx_stack, 0, op_flag)
     utils.enforce_stack_copy(loop_result, current.loop_stack, next_state.loop_stack, 0, op_flag)

@@ -1,0 +1,219 @@
+"""Device-side transition-constraint evaluation.
+
+The polymorphic AIR (decoder_air / stack_air, written as plain ``(a*b) % M``
+expressions) is traced over JaxCol device columns and compiled by XLA into
+one fused kernel over the whole evaluation domain.  This replaces the native
+host sweep for the prover's step 3: the strided LDE slice never leaves the
+device (the tunneled host link runs ~15 MB/s, so shipping the (R, n_ev, 4)
+trace to the host dominated step-3 time), and the combined transition column
+feeds straight into the device iNTT of step 4.
+
+Structured hot spots (op-flag products, MDS, shift checks, the degree-grouped
+random linear combination) run through the batched jax_col helpers so the
+traced graph stays compact enough for XLA; values are bit-identical to the
+scalar/native paths.  Transcript-dependent values (the pseudo-random
+constraint coefficients) and the periodic ARK/mask constants enter as traced
+arrays so the compiled kernel is reusable across proofs of the same trace
+geometry.  Mirrors reference src/stark/prover.rs:39-69 +
+constraints/evaluator.rs.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ...math import field
+from ...math import field_jax as fj
+from ...math.jax_col import JaxCol, stack_cols, unstack, weighted_sum
+from ...config import (
+    MAX_CONSTRAINT_DEGREE, NUM_CF_OPS, NUM_LD_OPS, NUM_HD_OPS,
+)
+from ...programs.opcodes import OpCode
+from ..trace_state import TraceState
+from .evaluator import _ResultView
+
+M = field.M
+
+
+class _DeviceTraceState(TraceState):
+    """TraceState whose lazy op-flag computation runs as stacked device ops.
+
+    Bit-identical to TraceState._compute_flags (including the reference's
+    ld_op_flags[2] quirk using cf_op_bits[1] and the PUSH/ASSERT degree
+    fix-ups, trace_state.rs:281-350) but with one (k, n, 4) multiply per
+    product level instead of one scalar-column multiply per flag."""
+
+    def _compute_flags(self):
+        n = self.cf_op_bits[0].arr.shape[0]
+        ones = fj.full((1, n), 1)
+
+        def bits_and_nots(bit_cols):
+            b = stack_cols(bit_cols, n)
+            return b, fj.sub(jnp.broadcast_to(ones, b.shape), b)
+
+        def select(num_flags, pos, bit, not_bit):
+            sel = np.array([(i >> pos) & 1 for i in range(num_flags)], dtype=bool)
+            return jnp.where(sel[:, None, None], bit[None], not_bit[None])
+
+        # cf flags: products over the 3 cf bits
+        cb, ncb = bits_and_nots(self.cf_op_bits)
+        cf = fj.mul(select(NUM_CF_OPS, 0, cb[0], ncb[0]),
+                    select(NUM_CF_OPS, 1, cb[1], ncb[1]))
+        cf = fj.mul(cf, select(NUM_CF_OPS, 2, cb[2], ncb[2]))
+
+        # ld flags: products over the 5 ld bits, with the reference quirk -
+        # flags whose low two bits are '10' use cf_op_bits[1] as the
+        # position-1 factor (trace_state.rs:301)
+        lb, nlb = bits_and_nots(self.ld_op_bits)
+        pos1 = select(NUM_LD_OPS, 1, lb[1], nlb[1])
+        quirk = np.array([(i & 3) == 2 for i in range(NUM_LD_OPS)], dtype=bool)
+        pos1 = jnp.where(quirk[:, None, None],
+                         jnp.broadcast_to(cb[1][None], pos1.shape), pos1)
+        ld = fj.mul(select(NUM_LD_OPS, 0, lb[0], nlb[0]), pos1)
+        for pos in (2, 3, 4):
+            ld = fj.mul(ld, select(NUM_LD_OPS, pos, lb[pos], nlb[pos]))
+
+        # hd flags: products over the 2 hd bits
+        hb, nhb = bits_and_nots(self.hd_op_bits)
+        hd = fj.mul(select(NUM_HD_OPS, 0, hb[0], nhb[0]),
+                    select(NUM_HD_OPS, 1, hb[1], nhb[1]))
+
+        begin_flag = JaxCol(fj.mul(ld[OpCode.Begin.ld_index()],
+                                   hd[OpCode.Begin.hd_index()]))
+        noop_flag = JaxCol(fj.mul(ld[OpCode.Noop.ld_index()],
+                                  hd[OpCode.Noop.hd_index()]))
+
+        # degree fix-ups so PUSH/ASSERT flags don't coincide with BEGIN
+        hd = hd.at[0].set(fj.mul(hd[0], lb[0]))
+        ld = ld.at[0].set(fj.mul(ld[0], hb[0]))
+
+        self._flags = (unstack(cf), unstack(ld), unstack(hd), begin_flag, noop_flag)
+
+
+def _to_device_state(ctx_depth, loop_depth, stack_depth, columns):
+    state = TraceState.from_vec(ctx_depth, loop_depth, stack_depth, columns)
+    state.__class__ = _DeviceTraceState
+    return state
+
+
+def _as_col(value, n):
+    """Constraint-result slot -> (n, 4) device array (slots never written
+    stay Python ints)."""
+    if isinstance(value, JaxCol):
+        return jnp.broadcast_to(value.arr, (n, 4))
+    return fj.full((n,), int(value) % M)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ctx_depth", "loop_depth", "stack_depth", "groups"))
+def _transition_kernel(lde, dec_ark, dec_masks, stk_ark, cc, xp_bases,
+                       *, ctx_depth, loop_depth, stack_depth, groups):
+    """One fused device kernel: AIR sweep + degree-grouped random linear
+    combination.  Returns (combined column (n, 4), count of trace-step rows
+    where the combined column is nonzero - the debug soundness check)."""
+    r_count, n = lde.shape[0], lde.shape[1]
+    reps = n // dec_ark.shape[1]
+
+    def tile(rows):
+        return [JaxCol(jnp.tile(rows[r], (reps, 1))) for r in range(rows.shape[0])]
+
+    columns = [JaxCol(lde[i]) for i in range(r_count)]
+    next_cols = [JaxCol(jnp.roll(lde[i], -MAX_CONSTRAINT_DEGREE, axis=0))
+                 for i in range(r_count)]
+    current = _to_device_state(ctx_depth, loop_depth, stack_depth, columns)
+    next_state = _to_device_state(ctx_depth, loop_depth, stack_depth, next_cols)
+
+    # lazy import to avoid a cycle (evaluator -> decoder_air -> ...); the AIR
+    # objects only supply constraint code + counts here - their periodic
+    # constants arrive as the traced dec_ark/dec_masks/stk_ark
+    from .decoder_air import Decoder as _D
+    from .stack_air import Stack as _S
+
+    dec = _D(16, MAX_CONSTRAINT_DEGREE, ctx_depth, loop_depth)
+    stk = _S(16, MAX_CONSTRAINT_DEGREE, stack_depth)
+    num_decoder = dec.constraint_count()
+    t_num = num_decoder + stk.constraint_count()
+
+    evaluations = [0] * t_num
+    d = _ResultView(evaluations, 0, num_decoder)
+    s = _ResultView(evaluations, num_decoder, t_num)
+
+    dec.evaluate_columns(current, next_state, tile(dec_ark), tile(dec_masks), d)
+    stk.evaluate_columns(current, next_state, tile(stk_ark), s)
+
+    # degree-grouped combination (mirrors Evaluator._combine_transition with
+    # traced coefficients so the kernel is transcript-independent); each
+    # group is two fused weighted sums over its stacked constraint columns
+    result = JaxCol(fj.full((n,), 0))
+    i = 0
+    for gi, constraints in enumerate(groups):
+        cols = [JaxCol(_as_col(evaluations[ci], n)) for ci in constraints]
+        even = cc[jnp.asarray(
+            np.array([2 * (i + k) for k in range(len(constraints))]))]
+        odd = cc[jnp.asarray(
+            np.array([2 * (i + k) + 1 for k in range(len(constraints))]))]
+        i += len(constraints)
+        result = (result + weighted_sum(cols, even)) % M
+        result_adj = weighted_sum(cols, odd)
+        xp = JaxCol(fj.power_series_dev(xp_bases[gi], n))
+        result = (result + result_adj * xp) % M
+
+    combined = result.arr
+    trace_rows = combined[::MAX_CONSTRAINT_DEGREE][:-1]
+    bad = jnp.sum(jnp.any(trace_rows != 0, axis=1).astype(jnp.uint32))
+    return combined, bad
+
+
+def _limb_rows(rows):
+    """list of lists of ints -> (k, len, 4) uint32 device array, one upload."""
+    arr = np.array(rows, dtype=object)
+    limbs = np.stack(
+        [((arr >> (32 * k)) & 0xFFFFFFFF).astype(np.uint32) for k in range(4)],
+        axis=-1)
+    return jnp.asarray(limbs)
+
+
+# geometry-static device constants, cached across proofs
+_CONST_CACHE = {}
+
+
+def _device_constants(evaluator):
+    n_ev = evaluator.domain_size
+    key = (n_ev, evaluator.ctx_depth, evaluator.loop_depth, evaluator.stack_depth)
+    cached = _CONST_CACHE.get(key)
+    if cached is None:
+        root_ev = field.get_root_of_unity(n_ev)
+        cached = (
+            _limb_rows(evaluator.decoder.ark_rows),
+            _limb_rows(evaluator.decoder.mask_rows),
+            _limb_rows(evaluator.stack.ark_rows),
+            _limb_rows([[field.exp(root_ev, incr)
+                         for incr, _ in evaluator.t_degree_groups]])[0],
+        )
+        _CONST_CACHE[key] = cached
+    return cached
+
+
+def evaluate_transition_device(evaluator, trace, debug_check=True):
+    """Prover step 3 (transition part) fully on device.
+
+    Returns the combined transition column over D_ev as an (n_ev, 4) device
+    array; bit-identical to the native/columnar host paths."""
+    stride = trace.extension_factor // MAX_CONSTRAINT_DEGREE
+    lde = trace.lde_dev[:, ::stride, :]
+
+    dec_ark, dec_masks, stk_ark, xp_bases = _device_constants(evaluator)
+    cc = fj.from_ints(np.array(evaluator.coefficients.transition, dtype=object))
+    groups = tuple(tuple(cs) for _, cs in evaluator.t_degree_groups)
+
+    combined, bad = _transition_kernel(
+        lde, dec_ark, dec_masks, stk_ark, cc, xp_bases,
+        ctx_depth=evaluator.ctx_depth, loop_depth=evaluator.loop_depth,
+        stack_depth=evaluator.stack_depth, groups=groups)
+
+    if debug_check:
+        assert int(bad) == 0, (
+            f"transition constraints not satisfied at {int(bad)} trace steps")
+    return combined

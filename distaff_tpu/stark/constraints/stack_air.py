@@ -8,7 +8,7 @@ from ...config import BASE_CYCLE_LENGTH, HASH_STATE_WIDTH
 from ...crypto.ark_constants import HASHER_MDS, HASHER_INV_MDS, HASHER_ARK
 from ...programs.opcodes import OpCode
 from .utils import (
-    agg, is_zero, is_binary, binary_not, are_equal, extend_constants,
+    agg, _agg_many, is_zero, is_binary, binary_not, are_equal, extend_constants,
     enforce_stack_copy, enforce_left_shift, enforce_right_shift,
 )
 from .decoder_air import pow_3
@@ -171,8 +171,8 @@ def enforce_dup2(result, old_stack, new_stack, op_flag):
 
 
 def enforce_dup4(result, old_stack, new_stack, op_flag):
-    for i in range(4):
-        agg(result, i, op_flag, are_equal(new_stack[i], old_stack[i]))
+    _agg_many(result, 0, op_flag,
+              [are_equal(new_stack[i], old_stack[i]) for i in range(4)])
     enforce_right_shift(result, old_stack, new_stack, 4, op_flag)
 
 
@@ -207,23 +207,23 @@ def enforce_swap2(result, old_stack, new_stack, op_flag):
 
 
 def enforce_swap4(result, old_stack, new_stack, op_flag):
-    for i in range(4):
-        agg(result, i, op_flag, are_equal(new_stack[i], old_stack[i + 4]))
-        agg(result, i + 4, op_flag, are_equal(new_stack[i + 4], old_stack[i]))
+    _agg_many(result, 0, op_flag,
+              [are_equal(new_stack[i], old_stack[i + 4]) for i in range(4)]
+              + [are_equal(new_stack[i + 4], old_stack[i]) for i in range(4)])
     enforce_stack_copy(result, old_stack, new_stack, 8, op_flag)
 
 
 def enforce_roll4(result, old_stack, new_stack, op_flag):
-    agg(result, 0, op_flag, are_equal(new_stack[0], old_stack[3]))
-    for i in range(3):
-        agg(result, i + 1, op_flag, are_equal(new_stack[i + 1], old_stack[i]))
+    _agg_many(result, 0, op_flag,
+              [are_equal(new_stack[0], old_stack[3])]
+              + [are_equal(new_stack[i + 1], old_stack[i]) for i in range(3)])
     enforce_stack_copy(result, old_stack, new_stack, 4, op_flag)
 
 
 def enforce_roll8(result, old_stack, new_stack, op_flag):
-    agg(result, 0, op_flag, are_equal(new_stack[0], old_stack[7]))
-    for i in range(7):
-        agg(result, i + 1, op_flag, are_equal(new_stack[i + 1], old_stack[i]))
+    _agg_many(result, 0, op_flag,
+              [are_equal(new_stack[0], old_stack[7])]
+              + [are_equal(new_stack[i + 1], old_stack[i]) for i in range(7)])
     enforce_stack_copy(result, old_stack, new_stack, 8, op_flag)
 
 
@@ -364,6 +364,10 @@ def enforce_cswap2(result, aux, old_stack, new_stack, op_flag):
 # crypto -------------------------------------------------------------------------------------
 
 def _hasher_mds(state, mds):
+    from ...math.jax_col import is_jax, mds_apply
+
+    if is_jax(*state):
+        return mds_apply(state, mds, HASH_STATE_WIDTH)
     out = []
     for i in range(HASH_STATE_WIDTH):
         acc = 0
@@ -373,15 +377,23 @@ def _hasher_mds(state, mds):
     return out
 
 
+def _pow3_all(values):
+    from ...math.jax_col import is_jax, pow3_all
+
+    if is_jax(*values):
+        return pow3_all(values)
+    return [pow_3(v) for v in values]
+
+
 def enforce_rescr(result, old_stack, new_stack, ark, op_flag):
     old_state = [(old_stack[i] + ark[i]) % M for i in range(HASH_STATE_WIDTH)]
-    old_state = [pow_3(v) for v in old_state]
+    old_state = _pow3_all(old_state)
     old_state = _hasher_mds(old_state, HASHER_MDS)
 
     new_state = _hasher_mds(list(new_stack[:HASH_STATE_WIDTH]), HASHER_INV_MDS)
-    new_state = [pow_3(v) for v in new_state]
+    new_state = _pow3_all(new_state)
     new_state = [(new_state[i] - ark[HASH_STATE_WIDTH + i]) % M for i in range(HASH_STATE_WIDTH)]
 
-    for i in range(HASH_STATE_WIDTH):
-        agg(result, i, op_flag, are_equal(new_state[i], old_state[i]))
+    _agg_many(result, 0, op_flag,
+              [are_equal(new_state[i], old_state[i]) for i in range(HASH_STATE_WIDTH)])
     enforce_stack_copy(result, old_stack, new_stack, HASH_STATE_WIDTH, op_flag)

@@ -33,23 +33,39 @@ def agg(result, index, flag, value):
     result[index] = (result[index] + flag * value) % M
 
 
+def _agg_many(result, start, flag, values):
+    """agg over consecutive slots; on device columns the flag multiply is a
+    single batched op (identical field values to the scalar loop)."""
+    from ...math.jax_col import is_jax, mul_flag
+
+    if values and is_jax(flag, *values):
+        for i, prod in enumerate(mul_flag(flag, values)):
+            result[start + i] = (result[start + i] + prod) % M
+    else:
+        for i, value in enumerate(values):
+            agg(result, start + i, flag, value)
+
+
 def enforce_stack_copy(result, old_stack, new_stack, from_slot, op_flag):
-    for i in range(from_slot, len(result)):
-        agg(result, i, op_flag, (old_stack[i] - new_stack[i]) % M)
+    diffs = [(old_stack[i] - new_stack[i]) % M
+             for i in range(from_slot, len(result))]
+    _agg_many(result, from_slot, op_flag, diffs)
 
 
 def enforce_right_shift(result, old_stack, new_stack, num_slots, op_flag):
-    for i in range(num_slots, len(result)):
-        agg(result, i, op_flag, (old_stack[i - num_slots] - new_stack[i]) % M)
+    diffs = [(old_stack[i - num_slots] - new_stack[i]) % M
+             for i in range(num_slots, len(result))]
+    _agg_many(result, num_slots, op_flag, diffs)
 
 
 def enforce_left_shift(result, old_stack, new_stack, from_slot, num_slots, op_flag):
     start_idx = from_slot - num_slots
     remainder_idx = len(result) - num_slots
-    for i in range(start_idx, remainder_idx):
-        agg(result, i, op_flag, (old_stack[i + num_slots] - new_stack[i]) % M)
-    for i in range(remainder_idx, len(result)):
-        agg(result, i, op_flag, new_stack[i])
+    shifted = [(old_stack[i + num_slots] - new_stack[i]) % M
+               for i in range(start_idx, remainder_idx)]
+    _agg_many(result, start_idx, op_flag, shifted)
+    tail = [new_stack[i] for i in range(remainder_idx, len(result))]
+    _agg_many(result, remainder_idx, op_flag, tail)
 
 
 def extend_constants(constants, extension_factor):

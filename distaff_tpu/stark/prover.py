@@ -134,6 +134,21 @@ def _evaluate_constraints_columnar(evaluator, trace, debug_check=True):
     stride = trace.extension_factor // MAX_CONSTRAINT_DEGREE
     n_ev = evaluator.domain_size
 
+    # default path for large domains: the whole step stays on device -
+    # transition constraints as one fused XLA kernel over the domain,
+    # boundary columns as weighted register sums; nothing crosses the host
+    # link.  Small domains keep the native sweep: their transfers are cheap
+    # and the AIR kernel's one-time XLA compile per trace geometry isn't
+    # worth paying for unit-test-sized traces.
+    min_domain = int(os.environ.get("DISTAFF_DEVICE_AIR_MIN_DOMAIN", 1 << 13))
+    if (os.environ.get("DISTAFF_DEVICE_AIR", "1") != "0"
+            and (n_ev >= min_domain or min_domain == 0)):
+        from .constraints.device_eval import evaluate_transition_device
+
+        i_evals, f_evals = _evaluate_boundaries_device(evaluator, trace, stride)
+        t_evals = evaluate_transition_device(evaluator, trace, debug_check)
+        return i_evals, f_evals, t_evals
+
     # stride-slice on device so only n_ev rows cross the link, not the
     # full LDE domain
     trace_u32 = np.ascontiguousarray(np.asarray(trace.lde_dev[:, ::stride, :]))
@@ -220,9 +235,7 @@ def _evaluate_boundaries_device(evaluator, trace, stride):
         adj = fj.add(s2, jnp.broadcast_to(fj.constant(c2), (n_ev, 4)))
         return fj.add(base, fj.mul(xp, adj))
 
-    i_col = combine(i_parts)
-    f_col = combine(f_parts)
-    return np.asarray(i_col), np.asarray(f_col)
+    return combine(i_parts), combine(f_parts)
 
 
 # ------------------------------------------------------------------------------------------------
@@ -333,6 +346,8 @@ def _combine_constraint_polys(evaluator, i_evals, f_evals, t_evals, trace_length
     ev_root = field.get_root_of_unity(n_ev)
 
     def _to_limbs(evals):
+        if isinstance(evals, jnp.ndarray) and not isinstance(evals, np.ndarray):
+            return evals                       # already on device
         if isinstance(evals, np.ndarray) and evals.dtype == np.uint32:
             return jnp.asarray(evals)
         return fj.from_ints(np.asarray(evals, dtype=object))
