@@ -12,10 +12,27 @@ node i's children at 2i, 2i+1; here each level is kept as a separate
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .merkle import BatchMerkleProof
 from ..ops.blake3_jax import hash_rows_u32
+
+
+@jax.jit
+def _build_flat_nodes(leaves_u32):
+    """All internal levels hashed in ONE device dispatch, returned as the
+    flat reference-order node array: index 0 unused, root at 1, node i's
+    children at 2i / 2i+1."""
+    n = leaves_u32.shape[0]
+    levels = []
+    cur = leaves_u32
+    size = n
+    while size > 1:
+        cur = hash_rows_u32(cur.reshape(size // 2, 16), 64)
+        levels.append(cur)
+        size //= 2
+    return jnp.concatenate([jnp.zeros((1, 8), dtype=jnp.uint32)] + levels[::-1])
 
 
 class DeviceMerkleTree:
@@ -32,22 +49,11 @@ class DeviceMerkleTree:
         assert n >= 2 and n & (n - 1) == 0, "number of leaves must be a power of 2, >= 2"
         self.n = n
         self.values = leaves_u32                      # (N, 8) u32, device
-        # levels bottom-up: levels[0] = parents of leaves (N/2), last = [root]
-        levels = []
-        cur = leaves_u32
-        size = n
-        while size > 1:
-            pairs = cur.reshape(size // 2, 16)        # sibling concatenation
-            cur = hash_rows_u32(pairs, 64)            # (size/2, 8)
-            levels.append(cur)
-            size //= 2
-        self.levels = levels
-        # flat device copy in reference node order (root at index 1, node i's
-        # children at 2i/2i+1): one gather + one transfer serves a whole batch
-        # opening instead of a round-trip per tree level
-        self.flat_nodes = jnp.concatenate(
-            [jnp.zeros((1, 8), dtype=jnp.uint32)] + levels[::-1])
-        self._root = np.ascontiguousarray(np.asarray(levels[-1][0])).tobytes()
+        # all levels in reference node order (root at index 1, node i's
+        # children at 2i/2i+1), hashed in one device dispatch; one gather +
+        # one transfer then serves a whole batch opening
+        self.flat_nodes = _build_flat_nodes(leaves_u32)
+        self._root = np.ascontiguousarray(np.asarray(self.flat_nodes[1])).tobytes()
 
     # interface parity with crypto.merkle.MerkleTree -----------------------------------------------
 

@@ -16,6 +16,7 @@ src/stark/README.md), re-architected for the TPU:
 9. proof assembly      - host
 """
 
+import functools
 import logging
 import os
 import time
@@ -434,6 +435,49 @@ def _weighted_register_sum_chunked(lde, weights):
         total = part if total is None else fj.add(total, part)
     return total
 
+@functools.partial(_jax.jit, static_argnames=("incr",))
+def _compose_kernel(a1, a2, polys, c_poly, c_lde, root4, z4, nz4,
+                    w1, w2, k1, k2, kc, *, incr):
+    """All of step 6 after the chunked register sums, in one device kernel:
+    T_i(z)/T_i(zg) poly evaluations, weighted sums, batched (x-z)/(x-zg)
+    inverses, the index-trick x^incr degree adjustment, and the constraint
+    part.  One dispatch instead of ~20; returns (composed, T(z), T(zg))."""
+    n = c_lde.shape[0]
+    trace_length = polys.shape[1]
+
+    ps_z = fj.power_series_dev(z4, c_poly.shape[0])
+    ps_nz = fj.power_series_dev(nz4, trace_length)
+    ts1 = fj.sum_reduce(fj.mul(polys, ps_z[None, :trace_length]), axis=1)  # (R, 4)
+    ts2 = fj.sum_reduce(fj.mul(polys, ps_nz[None]), axis=1)
+    s1 = fj.sum_reduce(fj.mul(ts1, w1), axis=0)                            # (4,)
+    s2 = fj.sum_reduce(fj.mul(ts2, w2), axis=0)
+
+    xs = fj.power_series_dev(root4, n)
+    u = fj.inv_batch(fj.sub(xs, jnp.broadcast_to(z4, (n, 4))))
+    v = fj.inv_batch(fj.sub(xs, jnp.broadcast_to(nz4, (n, 4))))
+
+    t1 = fj.mul(fj.sub(a1, jnp.broadcast_to(s1, (n, 4))), u)
+    t2 = fj.mul(fj.sub(a2, jnp.broadcast_to(s2, (n, 4))), v)
+    base = fj.add(t1, t2)
+
+    # degree adjustment: base * k1 + base * x^incr * k2.  x_j^incr =
+    # xs[(j * incr) mod n]; n is a power of two, so the uint32 product's low
+    # bits are exact and the mod collapses to a mask
+    j = jnp.arange(n, dtype=jnp.uint32)
+    idx = (j * jnp.uint32(incr % n)) & jnp.uint32(n - 1)
+    x_incr = xs[idx]
+    part1 = fj.mul(base, jnp.broadcast_to(k1, (n, 4)))
+    part2 = fj.mul(fj.mul(base, x_incr), jnp.broadcast_to(k2, (n, 4)))
+    composed = fj.add(part1, part2)
+
+    # constraint part: (C(x) - C(z)) / (x - z) * cc.constraints
+    c_at_z = fj.dot(c_poly, ps_z)                                          # (4,)
+    c_part = fj.mul(
+        fj.mul(fj.sub(c_lde, jnp.broadcast_to(c_at_z, (n, 4))), u),
+        jnp.broadcast_to(kc, (n, 4)))
+    return fj.add(composed, c_part), ts1, ts2
+
+
 def _build_composition_evaluations(trace, constraint_poly, constraint_lde, z, cc):
     n = trace.domain_size()
     trace_length = trace.unextended_length()
@@ -441,49 +485,26 @@ def _build_composition_evaluations(trace, constraint_poly, constraint_lde, z, cc
     g = field.get_root_of_unity(trace_length)
     next_z = field.mul(z, g)
 
-    trace_state1 = trace.eval_polys_at(z)
-    trace_state2 = trace.eval_polys_at(next_z)
-
-    # weighted register sums A1(x) = sum_i cc1_i T_i(x), A2 likewise,
-    # fused into one device reduction instead of per-register dispatches
+    # weighted register sums A1(x) = sum_i cc1_i T_i(x), A2 likewise - kept
+    # outside the fused kernel so the register axis stays chunked under the
+    # HBM budget at multi-GB domains
     lde = trace.lde_dev  # (R, D, 4)
     r_count = trace.register_count()
     w1 = fj.from_ints(np.array(cc.trace1[:r_count], dtype=object))  # (R, 4)
     w2 = fj.from_ints(np.array(cc.trace2[:r_count], dtype=object))
     a1 = _weighted_register_sum_chunked(lde, w1)
     a2 = _weighted_register_sum_chunked(lde, w2)
-    s1 = 0
-    s2 = 0
-    for i in range(r_count):
-        s1 = (s1 + trace_state1[i] * cc.trace1[i]) % M
-        s2 = (s2 + trace_state2[i] * cc.trace2[i]) % M
 
-    # batched inverses of (x - z) and (x - zg) over the LDE domain
-    lde_root = field.get_root_of_unity(n)
-    xs = fj.power_series(lde_root, n)
-    u = fj.inv_batch(fj.sub(xs, jnp.broadcast_to(fj.constant(z), (n, 4))))
-    v = fj.inv_batch(fj.sub(xs, jnp.broadcast_to(fj.constant(next_z), (n, 4))))
-
-    t1 = fj.mul(fj.sub(a1, jnp.broadcast_to(fj.constant(s1), (n, 4))), u)
-    t2 = fj.mul(fj.sub(a2, jnp.broadcast_to(fj.constant(s2), (n, 4))), v)
-    base = fj.add(t1, t2)
-
-    # degree adjustment: base * k1 + base * x^incr * k2
     incr = utils.get_incremental_trace_degree(trace_length)
-    idx = (np.arange(n, dtype=np.uint64) * np.uint64(incr % n)) % np.uint64(n)
-    x_incr = xs[jnp.asarray(idx.astype(np.int64))]
-    part1 = fj.mul(base, jnp.broadcast_to(fj.constant(cc.t1_degree), (n, 4)))
-    part2 = fj.mul(fj.mul(base, x_incr), jnp.broadcast_to(fj.constant(cc.t2_degree), (n, 4)))
-    composed = fj.add(part1, part2)
+    composed, ts1, ts2 = _compose_kernel(
+        a1, a2, trace.polys_dev, constraint_poly, constraint_lde,
+        fj.constant(field.get_root_of_unity(n)), fj.constant(z),
+        fj.constant(next_z), w1, w2,
+        fj.constant(cc.t1_degree), fj.constant(cc.t2_degree),
+        fj.constant(cc.constraints), incr=incr)
 
-    # constraint part: (C(x) - C(z)) / (x - z) * cc.constraints
-    z_powers = fj.power_series_dev(fj.constant(z), constraint_poly.shape[0])
-    c_at_z = int(fj.to_ints(fj.dot(constraint_poly, z_powers)[None])[0])
-    c_part = fj.mul(
-        fj.mul(fj.sub(constraint_lde, jnp.broadcast_to(fj.constant(c_at_z), (n, 4))), u),
-        jnp.broadcast_to(fj.constant(cc.constraints), (n, 4)),
-    )
-    composed = fj.add(composed, c_part)
-
+    states = fj.to_ints(np.asarray(jnp.stack([ts1, ts2])))  # one transfer
+    trace_state1 = [int(v) for v in states[0]]
+    trace_state2 = [int(v) for v in states[1]]
     deep_values = DeepValues(trace_state1, trace_state2)
     return composed, deep_values
