@@ -1,7 +1,7 @@
 """CLI mirroring the reference binary (reference src/main.rs):
 
-    python -m distaff_tpu [fibonacci|collatz|conditional|rangecheck] [n]
-                          [ext_factor] [num_queries] [grind_factor]
+    python -m distaff_tpu [fibonacci|collatz|comparison|conditional|merkle|rangecheck]
+                          [n] [ext_factor] [num_queries] [grind_factor]
 """
 
 import logging

@@ -25,6 +25,20 @@ from ..math import field
 from ..math import field_jax as fj
 
 
+def configured_mesh():
+    """The mesh the prover itself runs on, from DISTAFF_MESH_DEVICES.
+
+    Returns None (single-device proving, the default) unless the env var
+    requests N > 1 devices.  Proofs are bit-identical with and without a
+    mesh - sharding only changes where the same field math executes."""
+    import os
+
+    n = int(os.environ.get("DISTAFF_MESH_DEVICES", "0"))
+    if n <= 1:
+        return None
+    return make_mesh(n)
+
+
 def make_mesh(n_devices=None, devices=None):
     """1-D device mesh over the domain/register axis.
 

@@ -142,8 +142,16 @@ def _evaluate_constraints_columnar(evaluator, trace, debug_check=True):
     # and the AIR kernel's one-time XLA compile per trace geometry isn't
     # worth paying for unit-test-sized traces.
     min_domain = int(os.environ.get("DISTAFF_DEVICE_AIR_MIN_DOMAIN", 1 << 13))
-    if (os.environ.get("DISTAFF_DEVICE_AIR", "1") != "0"
-            and (n_ev >= min_domain or min_domain == 0)):
+    air_mode = os.environ.get("DISTAFF_DEVICE_AIR", "auto")
+    # "auto": device kernel on real accelerators for large domains.  CPU XLA
+    # compiles this kernel pathologically slowly (>10 min), so auto never
+    # picks it there; "1" forces it regardless of backend.
+    on_accelerator = any(
+        d.platform != "cpu" for d in trace.lde_dev.devices())
+    use_device_air = air_mode == "1" or (
+        air_mode == "auto" and on_accelerator
+        and (n_ev >= min_domain or min_domain == 0))
+    if use_device_air:
         from .constraints.device_eval import evaluate_transition_device
 
         i_evals, f_evals = _evaluate_boundaries_device(evaluator, trace, stride)

@@ -103,6 +103,26 @@ class TraceTable:
                 .reshape(self._register_count, n, 4))
         else:
             regs = fj.from_ints(np.array(self.registers, dtype=object))  # (R, N, 4)
+
+        # multi-chip: shard the register axis over the configured mesh (the
+        # per-register NTTs need zero communication; pointwise downstream
+        # stages repartition as XLA sees fit).  Zero-pad registers so the
+        # axis divides the mesh - pad rows extend to zero rows and are
+        # sliced off below, so proofs are bit-identical to single-device
+        from ..parallel.mesh import configured_mesh
+
+        r_count = regs.shape[0]
+        mesh = configured_mesh()
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = mesh.devices.size
+            padded_r = ((r_count + n_dev - 1) // n_dev) * n_dev
+            if padded_r != r_count:
+                regs = jnp.concatenate(
+                    [regs, jnp.zeros((padded_r - r_count, n, 4), dtype=jnp.uint32)])
+            regs = jax.device_put(regs, NamedSharding(mesh, P("shard", None, None)))
+
         intt_v = jax.vmap(lambda v: fj.intt(v))
         polys = intt_v(regs)
 
@@ -111,7 +131,7 @@ class TraceTable:
         # chunk the register axis so the working set fits, padding the last
         # chunk so every dispatch reuses one compiled shape
         import os
-        r_count = polys.shape[0]
+        r_count = polys.shape[0]                # incl. any mesh padding
         per_lane = domain * 16 * 26
         budget = int(os.environ.get("DISTAFF_NTT_BUDGET_BYTES", 6 << 30))
         group = max(1, min(r_count, budget // per_lane))
@@ -129,6 +149,11 @@ class TraceTable:
                 parts.append(ntt_v(padded)[: chunk.shape[0]])
             lde = jnp.concatenate(parts, axis=0)
 
+        # slice off mesh-padding registers so every consumer (row hashing,
+        # query gathers, composition weights) sees exactly the true trace
+        if polys.shape[0] != self._register_count:
+            polys = polys[: self._register_count]
+            lde = lde[: self._register_count]
         self.polys_dev = polys
         self.lde_dev = lde
 

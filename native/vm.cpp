@@ -385,6 +385,13 @@ struct Stack {
     u128 top() const { return regs[0][step]; }
     u128 prev(size_t i) const { return regs[i][step - 1]; }
 
+    // semantic depth guard: ops that read k items must have k on the stack
+    // (mirrors the Python executor's underflow assertions)
+    bool need(size_t k) {
+        if (depth < k) { fail("stack underflow"); return false; }
+        return true;
+    }
+
     void copy_state(size_t start) {
         for (size_t i = start; i < depth; i++) regs[i][step] = regs[i][step - 1];
     }
@@ -412,9 +419,11 @@ struct Stack {
         switch (op) {
             case OP_BEGIN: case OP_NOOP: copy_state(0); break;
             case OP_ASSERT:
+                if (!need(1)) return;
                 if (prev(0) != 1) { fail("ASSERT failed"); return; }
                 shift_left(1, 1); break;
             case OP_ASSERTEQ:
+                if (!need(2)) return;
                 if (prev(0) != prev(1)) { fail("ASSERTEQ failed"); return; }
                 shift_left(2, 2); break;
             case OP_PUSH:
@@ -448,12 +457,14 @@ struct Stack {
                 regs[1][step] = tape_a.back(); tape_a.pop_back();
                 break;
             }
-            case OP_DUP: shift_right(0, 1); regs[0][step] = regs[0][step - 1]; break;
+            case OP_DUP: if (!need(1)) return; shift_right(0, 1); regs[0][step] = regs[0][step - 1]; break;
             case OP_DUP2:
+                if (!need(2)) return;
                 shift_right(0, 2);
                 for (int i = 0; i < 2; i++) regs[i][step] = regs[i][step - 1];
                 break;
             case OP_DUP4:
+                if (!need(4)) return;
                 shift_right(0, 4);
                 for (int i = 0; i < 4; i++) regs[i][step] = regs[i][step - 1];
                 break;
@@ -462,24 +473,30 @@ struct Stack {
             case OP_DROP: shift_left(1, 1); break;
             case OP_DROP4: shift_left(4, 4); break;
             case OP_SWAP:
+                if (!need(2)) return;
                 regs[0][step] = prev(1); regs[1][step] = prev(0); copy_state(2); break;
             case OP_SWAP2:
+                if (!need(4)) return;
                 regs[0][step] = prev(2); regs[1][step] = prev(3);
                 regs[2][step] = prev(0); regs[3][step] = prev(1); copy_state(4); break;
             case OP_SWAP4:
+                if (!need(8)) return;
                 for (int i = 0; i < 4; i++) {
                     regs[i][step] = prev(i + 4); regs[i + 4][step] = prev(i);
                 }
                 copy_state(8); break;
             case OP_ROLL4:
+                if (!need(4)) return;
                 regs[0][step] = prev(3);
                 for (int i = 0; i < 3; i++) regs[i + 1][step] = prev(i);
                 copy_state(4); break;
             case OP_ROLL8:
+                if (!need(8)) return;
                 regs[0][step] = prev(7);
                 for (int i = 0; i < 7; i++) regs[i + 1][step] = prev(i);
                 copy_state(8); break;
             case OP_CHOOSE: {
+                if (!need(3)) return;
                 u128 c = prev(2);
                 if (c == 1) regs[0][step] = prev(0);
                 else if (c == 0) regs[0][step] = prev(1);
@@ -487,6 +504,7 @@ struct Stack {
                 shift_left(3, 2); break;
             }
             case OP_CHOOSE2: {
+                if (!need(6)) return;
                 u128 c = prev(4);
                 if (c == 1) { regs[0][step] = prev(0); regs[1][step] = prev(1); }
                 else if (c == 0) { regs[0][step] = prev(2); regs[1][step] = prev(3); }
@@ -494,6 +512,7 @@ struct Stack {
                 shift_left(6, 4); break;
             }
             case OP_CSWAP2: {
+                if (!need(6)) return;
                 u128 c = prev(4);
                 if (c == 0) { for (int i = 0; i < 4; i++) regs[i][step] = prev(i); }
                 else if (c == 1) {
@@ -502,24 +521,29 @@ struct Stack {
                 } else { fail("CSWAP2 non-binary"); return; }
                 shift_left(6, 2); break;
             }
-            case OP_ADD: regs[0][step] = f128::add(prev(0), prev(1)); shift_left(2, 1); break;
-            case OP_MUL: regs[0][step] = f128::mul(prev(0), prev(1)); shift_left(2, 1); break;
+            case OP_ADD: if (!need(2)) return; regs[0][step] = f128::add(prev(0), prev(1)); shift_left(2, 1); break;
+            case OP_MUL: if (!need(2)) return; regs[0][step] = f128::mul(prev(0), prev(1)); shift_left(2, 1); break;
             case OP_INV:
+                if (!need(1)) return;
                 if (prev(0) == 0) { fail("INV of zero"); return; }
                 regs[0][step] = f128::inv(prev(0)); copy_state(1); break;
-            case OP_NEG: regs[0][step] = f128::neg(prev(0)); copy_state(1); break;
+            case OP_NEG: if (!need(1)) return; regs[0][step] = f128::neg(prev(0)); copy_state(1); break;
             case OP_NOT:
+                if (!need(1)) return;
                 if (prev(0) > 1) { fail("NOT non-binary"); return; }
                 regs[0][step] = f128::sub(1, prev(0)); copy_state(1); break;
             case OP_AND:
+                if (!need(2)) return;
                 if (prev(0) > 1 || prev(1) > 1) { fail("AND non-binary"); return; }
                 regs[0][step] = (prev(0) == 1 && prev(1) == 1) ? 1 : 0;
                 shift_left(2, 1); break;
             case OP_OR:
+                if (!need(2)) return;
                 if (prev(0) > 1 || prev(1) > 1) { fail("OR non-binary"); return; }
                 regs[0][step] = (prev(0) == 1 || prev(1) == 1) ? 1 : 0;
                 shift_left(2, 1); break;
             case OP_EQ: {
+                if (!need(3)) return;
                 u128 aux = prev(0), x = prev(1), y = prev(2);
                 if (x == y) regs[0][step] = 1;
                 else {

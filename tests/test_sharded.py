@@ -35,3 +35,27 @@ def test_sharded_intt_roundtrip():
     x = fj.from_ints([rng.randrange(field.M) for _ in range(512)])
     back = ns.intt_sharded(ns.ntt_sharded(x, mesh), mesh)
     assert (np.asarray(back) == np.asarray(x)).all()
+
+
+def test_mesh_prove_bit_identical(monkeypatch):
+    """An end-to-end proof generated on a 4-device mesh (register-sharded
+    LDE via DISTAFF_MESH_DEVICES) must be byte-identical to the
+    single-device proof - sharding only moves where the field math runs."""
+    _require_devices(4)
+    import distaff_tpu
+    from distaff_tpu import assembly, ProgramInputs, ProofOptions
+    from distaff_tpu.stark import serde
+
+    program = assembly.compile("begin repeat.4 swap dup.2 drop add end end")
+    inputs = ProgramInputs.from_public([1, 0])
+    options = ProofOptions(extension_factor=16, num_queries=10, grinding_factor=2)
+
+    outputs1, proof1 = distaff_tpu.execute(program, inputs, 1, options)
+
+    monkeypatch.setenv("DISTAFF_MESH_DEVICES", "4")
+    outputs2, proof2 = distaff_tpu.execute(program, inputs, 1, options)
+
+    assert outputs1 == outputs2
+    assert serde.serialize(proof1) == serde.serialize(proof2)
+    assert distaff_tpu.verify(
+        program.hash, inputs.get_public_inputs(), outputs2, proof2)

@@ -32,9 +32,9 @@ def main():
                         format="%(relativeCreated)8.0fms %(message)s")
     logging.getLogger("jax").setLevel(logging.WARNING)
 
-    # each repeat iteration is 4 user ops; pick n so that ~4n ops pad to the
-    # requested power-of-two trace length
-    n_iter = (1 << log2_trace) * 3 // 16
+    # each unrolled 4-op iteration costs 64/3 trace steps after span padding,
+    # so 3N/64 iterations pad to exactly an N-step trace
+    n_iter = (1 << log2_trace) * 3 // 64
     t0 = time.time()
     program = assembly.compile(
         f"begin repeat.{n_iter} swap dup.2 drop add end end")
