@@ -32,13 +32,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINES = {8: 0.19, 10: 0.35, 12: 1.0, 14: 4.5, 16: 18.0, 18: 78.0, 20: 1080.0}
 
 
-def _tpu_alive(timeout_s=90, attempts=3):
+def _tpu_alive(timeout_s=75, attempts=2):
     """Probe the device with a trivial op in a subprocess so a wedged tunnel
     can't hang the benchmark itself."""
     probe = ("import jax, jax.numpy as jnp; "
-             "assert int((jnp.arange(8, dtype=jnp.uint32) + 1).sum()) == 44; "
+             "assert int((jnp.arange(8, dtype=jnp.uint32) + 1).sum()) == 36; "
              "print('ok' if jax.devices()[0].platform != 'cpu' else 'cpu')")
-    for _ in range(attempts):
+    for attempt in range(attempts):
         try:
             out = subprocess.run(
                 [sys.executable, "-c", probe], capture_output=True,
@@ -47,9 +47,12 @@ def _tpu_alive(timeout_s=90, attempts=3):
             )
             if out.returncode == 0:
                 return out.stdout.strip() == "ok"
+            print(f"# TPU probe rc={out.returncode}: {out.stderr[-200:]}",
+                  file=sys.stderr)
         except subprocess.TimeoutExpired:
-            pass
-        time.sleep(30)
+            print("# TPU probe timed out", file=sys.stderr)
+        if attempt + 1 < attempts:
+            time.sleep(5)
     return False
 
 
@@ -67,6 +70,10 @@ def main():
     if os.environ.get("JAX_PLATFORMS") != "cpu" and not _tpu_alive():
         print("# TPU unavailable; running on CPU", file=sys.stderr)
         os.environ["JAX_PLATFORMS"] = "cpu"
+        if len(sys.argv) <= 1:
+            # CPU fallback must still finish inside the driver's timeout:
+            # shrink to a size the CPU backend proves in seconds.
+            log2_trace = 12
 
     import jax
 
@@ -88,10 +95,15 @@ def main():
     warm = time.time() - t0
     assert proof.trace_length() == 1 << log2_trace, proof.trace_length()
 
-    # timed run
-    t0 = time.time()
-    outputs, proof = distaff_tpu.execute(program, inputs, 1, options)
-    elapsed = time.time() - t0
+    if warm > 240:
+        # Too slow to afford a second run inside the driver's timeout;
+        # report the warm-up time (pessimistic: includes compilation).
+        elapsed = warm
+    else:
+        # timed run
+        t0 = time.time()
+        outputs, proof = distaff_tpu.execute(program, inputs, 1, options)
+        elapsed = time.time() - t0
 
     # sanity: the proof must verify
     assert distaff_tpu.verify(
