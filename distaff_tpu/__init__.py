@@ -12,6 +12,10 @@ JAX (distaff_tpu.math.field_jax, distaff_tpu.ops).
 
 import logging
 
+from . import jax_setup
+
+jax_setup.configure()
+
 from .config import MAX_OUTPUTS, MIN_TRACE_LENGTH
 from .programs import Program, ProgramInputs, assembly
 from .stark import ProofOptions, StarkProof, TraceTable

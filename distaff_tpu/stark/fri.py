@@ -64,7 +64,9 @@ def reduce(evaluations_dev, domain_root, options):
     """
     hash_name = options.hash_fn
     n = evaluations_dev.shape[0]
-    domain_powers = fj.power_series(domain_root, n)  # (n, 4limbs)
+    # first-column node coordinates [x^0 .. x^(n/4 - 1)]; every subsequent
+    # layer's nodes are a [::4] stride of these (fri_jax module docstring)
+    x0 = fj.power_series(domain_root, n // 4)
 
     tree_results = []
     value_results = []
@@ -72,11 +74,10 @@ def reduce(evaluations_dev, domain_root, options):
     p_values = fri_jax.transpose_quartic(evaluations_dev, 1)
     p_tree = _build_layer_tree(p_values, hash_name)
 
-    depth = 0
     while p_values.shape[0] * 4 > MAX_REMAINDER_LENGTH:
-        xs = fri_jax.transpose_quartic(domain_powers, 4 ** depth)
         special_x = rand.prng(p_tree.root(), field.M)
-        column = fri_jax.fold_rows(p_values, xs, fj.constant(special_x))
+        column = fri_jax.fold_rows(p_values, x0, fj.constant(special_x))
+        x0 = x0[::4]
 
         c_values = fri_jax.transpose_quartic(column, 1)
         c_tree = _build_layer_tree(c_values, hash_name)
@@ -84,7 +85,6 @@ def reduce(evaluations_dev, domain_root, options):
         tree_results.append(p_tree)
         value_results.append(p_values)
         p_tree, p_values = c_tree, c_values
-        depth += 1
 
     tree_results.append(p_tree)
     value_results.append(p_values)
