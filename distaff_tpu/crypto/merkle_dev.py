@@ -70,16 +70,16 @@ class DeviceMerkleTree:
         """Fetch internal nodes by flat index in one transfer -> list[bytes]."""
         if not node_indexes:
             return []
-        idx = jnp.asarray(np.array(node_indexes, dtype=np.int64))
-        rows = np.ascontiguousarray(np.asarray(self.flat_nodes[idx]))
+        from ..ops.gather import gather_rows
+        rows = np.ascontiguousarray(gather_rows(self.flat_nodes, node_indexes))
         rows = rows.view(np.uint8).reshape(len(node_indexes), 32)
         return [rows[k].tobytes() for k in range(len(node_indexes))]
 
     def _gather_leaves(self, leaf_indexes):
         if not leaf_indexes:
             return []
-        idx = jnp.asarray(np.array(leaf_indexes, dtype=np.int64))
-        rows = np.ascontiguousarray(np.asarray(self.values[idx]))
+        from ..ops.gather import gather_rows
+        rows = np.ascontiguousarray(gather_rows(self.values, leaf_indexes))
         rows = rows.view(np.uint8).reshape(len(leaf_indexes), 32)
         return [rows[k].tobytes() for k in range(len(leaf_indexes))]
 

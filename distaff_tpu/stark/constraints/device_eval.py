@@ -108,11 +108,24 @@ def _as_col(value, n):
 
 @functools.partial(
     jax.jit, static_argnames=("ctx_depth", "loop_depth", "stack_depth", "groups"))
-def _transition_kernel(lde, dec_ark, dec_masks, stk_ark, cc, xp_bases,
-                       *, ctx_depth, loop_depth, stack_depth, groups):
-    """One fused device kernel: AIR sweep + degree-grouped random linear
-    combination.  Returns (combined column (n, 4), count of trace-step rows
-    where the combined column is nonzero - the debug soundness check)."""
+def _transition_kernel(lde, nxt, dec_ark, dec_masks, stk_ark, cc, xp_bases,
+                       xp_prefix, excl, *, ctx_depth, loop_depth, stack_depth,
+                       groups):
+    """One fused device kernel over a fixed-size chunk of the evaluation
+    domain: AIR sweep + degree-grouped random linear combination.
+
+    The chunk shape is geometry-independent (DISTAFF_AIR_CHUNK_ROWS, default
+    2^16 rows), so a single XLA compile serves every trace length - this
+    matters because compiles run on the far side of the TPU tunnel and this
+    kernel is the most expensive compile in the pipeline (~270 s measured).
+
+    lde/nxt: (R, C, 4) current and 8-rows-ahead chunk slices.
+    xp_prefix: (G, 4) per-chunk scalar xp_base^chunk_offset so the in-kernel
+    power series starts at the right exponent.
+    excl: local index of the final trace step (its wraparound transition is
+    legitimately nonzero), or -1 when outside this chunk.
+    Returns (combined column (C, 4), count of trace-step rows where the
+    combined column is nonzero - the debug soundness check)."""
     r_count, n = lde.shape[0], lde.shape[1]
     reps = n // dec_ark.shape[1]
 
@@ -120,8 +133,7 @@ def _transition_kernel(lde, dec_ark, dec_masks, stk_ark, cc, xp_bases,
         return [JaxCol(jnp.tile(rows[r], (reps, 1))) for r in range(rows.shape[0])]
 
     columns = [JaxCol(lde[i]) for i in range(r_count)]
-    next_cols = [JaxCol(jnp.roll(lde[i], -MAX_CONSTRAINT_DEGREE, axis=0))
-                 for i in range(r_count)]
+    next_cols = [JaxCol(nxt[i]) for i in range(r_count)]
     current = _to_device_state(ctx_depth, loop_depth, stack_depth, columns)
     next_state = _to_device_state(ctx_depth, loop_depth, stack_depth, next_cols)
 
@@ -157,12 +169,16 @@ def _transition_kernel(lde, dec_ark, dec_masks, stk_ark, cc, xp_bases,
         i += len(constraints)
         result = (result + weighted_sum(cols, even)) % M
         result_adj = weighted_sum(cols, odd)
-        xp = JaxCol(fj.power_series_dev(xp_bases[gi], n))
+        xp = JaxCol(fj.mul(fj.power_series_dev(xp_bases[gi], n),
+                           jnp.broadcast_to(xp_prefix[gi], (n, 4))))
         result = (result + result_adj * xp) % M
 
     combined = result.arr
-    trace_rows = combined[::MAX_CONSTRAINT_DEGREE][:-1]
-    bad = jnp.sum(jnp.any(trace_rows != 0, axis=1).astype(jnp.uint32))
+    trace_rows = combined[::MAX_CONSTRAINT_DEGREE]
+    keep = (jnp.arange(trace_rows.shape[0], dtype=jnp.int32)
+            != excl // MAX_CONSTRAINT_DEGREE)
+    bad = jnp.sum(
+        (jnp.any(trace_rows != 0, axis=1) & keep).astype(jnp.uint32))
     return combined, bad
 
 
@@ -199,21 +215,55 @@ def _device_constants(evaluator):
 def evaluate_transition_device(evaluator, trace, debug_check=True):
     """Prover step 3 (transition part) fully on device.
 
+    The domain is swept in fixed-size chunks (DISTAFF_AIR_CHUNK_ROWS rows,
+    default 2^16) so the AIR kernel compiles once and serves every trace
+    length, and its working set stays bounded at multi-GB domains.  Chunk
+    sizes stay aligned to the 128-row periodic-constant cycle (16 steps x 8
+    rows/step), so the in-chunk ARK/mask tiling is offset-free.
+
     Returns the combined transition column over D_ev as an (n_ev, 4) device
     array; bit-identical to the native/columnar host paths."""
+    import os
+
     stride = trace.extension_factor // MAX_CONSTRAINT_DEGREE
     lde = trace.lde_dev[:, ::stride, :]
+    n_ev = lde.shape[1]
 
-    dec_ark, dec_masks, stk_ark, xp_bases = _device_constants(evaluator)
+    dec_ark, dec_masks, stk_ark, xp_bases_dev = _device_constants(evaluator)
     cc = fj.from_ints(np.array(evaluator.coefficients.transition, dtype=object))
     groups = tuple(tuple(cs) for _, cs in evaluator.t_degree_groups)
 
-    combined, bad = _transition_kernel(
-        lde, dec_ark, dec_masks, stk_ark, cc, xp_bases,
-        ctx_depth=evaluator.ctx_depth, loop_depth=evaluator.loop_depth,
-        stack_depth=evaluator.stack_depth, groups=groups)
+    chunk = min(int(os.environ.get("DISTAFF_AIR_CHUNK_ROWS", 1 << 16)), n_ev)
+    assert n_ev % chunk == 0 and chunk % (16 * MAX_CONSTRAINT_DEGREE) == 0
+
+    # rows 8 ahead with wraparound, so chunks never roll across their edge
+    ext = jnp.concatenate(
+        [lde[:, MAX_CONSTRAINT_DEGREE:], lde[:, :MAX_CONSTRAINT_DEGREE]], axis=1)
+
+    root_ev = field.get_root_of_unity(n_ev)
+    xp_bases = [field.exp(root_ev, incr) for incr, _ in evaluator.t_degree_groups]
+    last_step_row = n_ev - MAX_CONSTRAINT_DEGREE
+
+    parts = []
+    bad_total = []
+    for lo in range(0, n_ev, chunk):
+        xp_prefix = fj.from_ints(np.array(
+            [field.exp(b, lo) for b in xp_bases], dtype=object))
+        excl = jnp.asarray(
+            last_step_row - lo if lo <= last_step_row < lo + chunk else -1,
+            dtype=jnp.int32)
+        combined, bad = _transition_kernel(
+            jax.lax.dynamic_slice_in_dim(lde, lo, chunk, axis=1),
+            jax.lax.dynamic_slice_in_dim(ext, lo, chunk, axis=1),
+            dec_ark, dec_masks, stk_ark, cc, xp_bases_dev,
+            xp_prefix, excl,
+            ctx_depth=evaluator.ctx_depth, loop_depth=evaluator.loop_depth,
+            stack_depth=evaluator.stack_depth, groups=groups)
+        parts.append(combined)
+        bad_total.append(bad)
 
     if debug_check:
-        assert int(bad) == 0, (
-            f"transition constraints not satisfied at {int(bad)} trace steps")
-    return combined
+        total = sum(int(b) for b in bad_total)
+        assert total == 0, (
+            f"transition constraints not satisfied at {total} trace steps")
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)

@@ -102,8 +102,8 @@ def build_proof(trees, values, positions):
         proof = tree.prove_batch(positions)
         # gather only the queried rows on device - the full layer is
         # O(domain) and never needed on host
-        idx = jnp.asarray(np.array(positions, dtype=np.int64))
-        rows_host = fj.to_ints(np.asarray(values[i][idx]))  # (Q, 4) object
+        from ..ops.gather import gather_rows
+        rows_host = fj.to_ints(gather_rows(values[i], positions))  # (Q, 4) obj
         queried = [[int(v) for v in rows_host[k]] for k in range(len(positions))]
         layers.append(FriLayer(tree.root(), queried, proof.nodes, proof.depth))
         domain_size //= 4

@@ -191,9 +191,9 @@ class TraceTable:
 
     def get_register_values_at(self, positions):
         """Rows of the extended trace at the given positions (host ints):
-        one batched gather + transfer instead of a round-trip per position."""
-        idx = jnp.asarray(np.array(positions, dtype=np.int64))
-        rows = np.asarray(self.lde_dev[:, idx, :])   # (R, Q, 4)
+        one bucketed gather + transfer instead of a round-trip per position."""
+        from ..ops.gather import gather_rows
+        rows = gather_rows(self.lde_dev, list(positions), axis=1)  # (R, Q, 4)
         ints = fj.to_ints(rows)                      # (R, Q) object
         return [[int(ints[r][q]) for r in range(ints.shape[0])]
                 for q in range(ints.shape[1])]
