@@ -436,3 +436,103 @@ def intt(values, root_int=None):
     out = _ntt_stages(values, tw)[jnp.asarray(_bitrev_indices(n))]
     inv_n = hostfield.inv(n)
     return mul(out, jnp.broadcast_to(constant(inv_n), out.shape))
+
+
+# ------------------------------------------------------------------------------------------------
+# four-step NTT for domains whose Pease working set exceeds HBM
+# ------------------------------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _twiddle_rows(bases, n):
+    """vmapped power series: (R, 4) bases -> (R, n, 4) rows of powers."""
+    return jax.vmap(lambda b: power_series_dev(b, n))(bases)
+
+
+def ntt_four_step(values, root_int=None, max_rows=None):
+    """Evaluate a size-N coefficient vector over the size-N domain by the
+    Bailey four-step decomposition N = N1 x N2:
+
+        A[k1, k2] = a[k1 + N1*k2]
+        B[k1, :]  = NTT_N2(A[k1, :])            (row transforms)
+        B[k1, j2] *= w^(k1*j2)                  (twiddles)
+        C[:, j2]  = NTT_N1(B[:, j2])            (column transforms)
+        X[j1*N2 + j2] = C[j1, j2]               (row-major readout)
+
+    Identical field values to ntt() (same polynomial, same domain, natural
+    order) but the working set is bounded by the row-batch size: the Pease
+    kernel holds ~26x the lane bytes in HLO temps, which at N = 2^25 is
+    ~14 GB for a single register - over HBM.  Here each dispatch works on
+    (batch, N2) or (N1, batch) tiles.
+
+    The k1-dependent twiddle rows w^(k1*j2) build from a (batch, N2) table
+    W_small[r, j2] = w^(r*j2) scaled by the chunk prefix w^(lo*j2) - both
+    power series, no modular exponentiation per element.
+    """
+    n = values.shape[0]
+    if root_int is None:
+        root_int = hostfield.get_root_of_unity(n)
+    root_int = int(root_int)
+
+    log_n = n.bit_length() - 1
+    log_n1 = log_n // 2
+    n1, n2 = 1 << log_n1, n >> log_n1
+    if max_rows is None:
+        import os
+        budget = int(os.environ.get("DISTAFF_NTT_BUDGET_BYTES", 6 << 30))
+        max_rows = max(1, budget // (n2 * 16 * 26))
+    rb = min(n1, max_rows)
+    while n1 % rb:
+        rb -= 1
+
+    root_n2 = pow(root_int, n1, M)          # size-N2 root
+    root_n1 = pow(root_int, n2, M)          # size-N1 root
+
+    # A[k1, k2] = a[k1 + N1 k2]
+    A = values.reshape(n2, n1, 4).transpose(1, 0, 2)
+
+    tw2 = power_series(root_n2, n2 // 2)
+    rev2 = jnp.asarray(_bitrev_indices(n2))
+    w_small = _twiddle_rows(
+        power_series(root_int, rb), n2)      # (rb, N2, 4): w^(r*j2)
+
+    rows = []
+    for lo in range(0, n1, rb):
+        chunk = jax.lax.dynamic_slice_in_dim(A, lo, rb, axis=0)
+        b = jax.vmap(lambda v: _ntt_stages(v, tw2)[rev2])(chunk)
+        prefix = power_series(pow(root_int, lo, M), n2)   # w^(lo*j2)
+        rows.append(mul(b, mul(w_small, prefix[None, :, :])))
+    B = rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
+
+    # column transforms: NTT along axis 0 with the columns as batch
+    tw1 = power_series(root_n1, n1 // 2)
+    rev1 = jnp.asarray(_bitrev_indices(n1))
+    cb = min(n2, max(1, (max_rows * n2) // n1))
+    while n2 % cb:
+        cb -= 1
+
+    cols = []
+    for lo in range(0, n2, cb):
+        chunk = jax.lax.dynamic_slice_in_dim(B, lo, cb, axis=1)
+        cols.append(_ntt_stages_batched(chunk, tw1)[rev1])
+    C = cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=1)
+
+    return C.reshape(n, 4)
+
+
+@jax.jit
+def _ntt_stages_batched(values, tw):
+    """Pease NTT stages along axis 0 of an (n, B, 4) array."""
+    n = values.shape[0]
+    b = values.shape[1]
+    levels = n.bit_length() - 1
+    pair_idx = jnp.arange(n // 2, dtype=jnp.uint32)
+
+    def body(s, x):
+        a = x[: n // 2]
+        c = x[n // 2 :]
+        w = tw[(pair_idx >> s) << s][:, None, :]
+        even = add(a, c)
+        odd = mul(sub(a, c), jnp.broadcast_to(w, a.shape))
+        return jnp.stack([even, odd], axis=1).reshape(n, b, 4)
+
+    return jax.lax.fori_loop(0, levels, body, values)

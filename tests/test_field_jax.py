@@ -53,3 +53,13 @@ def test_ntt_roundtrip(n):
     assert dev == polynom.eval_fft(p)
     back = list(fj.to_ints(fj.intt(fj.from_ints(dev))))
     assert back == p
+
+
+@pytest.mark.parametrize("n,max_rows", [(256, None), (1024, 4), (4096, 8)])
+def test_ntt_four_step_matches_pease(n, max_rows):
+    rng = random.Random(n)
+    p = [rng.randrange(field.M) for _ in range(n)]
+    x = fj.from_ints(p)
+    want = list(fj.to_ints(fj.ntt(x)))
+    got = list(fj.to_ints(fj.ntt_four_step(x, max_rows=max_rows)))
+    assert got == want
