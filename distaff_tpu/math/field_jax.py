@@ -385,30 +385,68 @@ def _bitrev_indices(n):
 
 
 @jax.jit
+def _stage_twiddles(tw):
+    """(n/2, 4) power series -> (levels, n/2, 4) per-stage twiddle rows.
+
+    Stage s of the Pease network multiplies pair i by W[i & ~(2^s - 1)],
+    i.e. the power series with each stride-2^s entry repeated 2^s times.
+    jnp.repeat with static counts lowers to broadcast+reshape - building
+    the whole table costs no gathers, and the butterfly loop then reads
+    its stage row with a dynamic slice.  (The obvious per-stage gather
+    W[(i >> s) << s] is avoided deliberately: the tunneled XLA backend's
+    compile time scales with gather size - a 2^20-element gather pushed
+    one compile past 50 minutes.)
+    """
+    n2 = tw.shape[0]
+    levels = n2.bit_length()  # log2(n) for n = 2*n2
+    rows = [tw]
+    for s in range(1, levels):
+        rows.append(jnp.repeat(tw[:: 1 << s], 1 << s, axis=0))
+    return jnp.stack(rows)
+
+
+@jax.jit
 def _ntt_stages(values, tw):
     """Constant-geometry (Pease) radix-2 DIF NTT stages.
 
     Every stage performs the same data movement - butterfly pairs
     (i, i + n/2), outputs interleaved to (2i, 2i+1) - so the whole transform
-    is a fori_loop over one compact butterfly body.  The stage-s twiddle for
-    pair i is W[i & ~(2^s - 1)]: the top-level power series with the low s
-    index bits cleared.  Output is bit-reversed; ntt() applies the final
-    un-permuting gather.  This shape maps directly onto TPU: contiguous
-    slices, one vector multiply per stage, no scatters.
+    is a fori_loop over one compact butterfly body.  Output is bit-reversed;
+    ntt() applies the final un-permutation.  This shape maps directly onto
+    TPU: contiguous slices, one vector multiply per stage, no gathers, no
+    scatters.
     """
     n = values.shape[0]
     levels = n.bit_length() - 1
-    pair_idx = jnp.arange(n // 2, dtype=jnp.uint32)
+    W = _stage_twiddles(tw)
 
     def body(s, x):
         a = x[: n // 2]
         b = x[n // 2 :]
-        w = tw[(pair_idx >> s) << s]
+        w = jax.lax.dynamic_index_in_dim(W, s, axis=0, keepdims=False)
         even = add(a, b)
         odd = mul(sub(a, b), w)
         return jnp.stack([even, odd], axis=1).reshape(n, 4)
 
     return jax.lax.fori_loop(0, levels, body, values)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _bitrev_permute(values, n):
+    """Bit-reversal permutation of the leading axis without a full-size
+    gather: split the index bits i = u*B + v, so rev_n maps
+    out.reshape(B, A)[rev_b(v), rev_a(u)] = in.reshape(A, B)[u, v] - two
+    small row/column gathers (A- and B-sized index vectors) plus one
+    transpose, instead of one n-sized gather."""
+    if n <= 1024:
+        return values[jnp.asarray(_bitrev_indices(n))]
+    bits = n.bit_length() - 1
+    a_bits = bits // 2
+    A, B = 1 << a_bits, n >> a_bits
+    x = values.reshape(A, B, 4)
+    x = x[jnp.asarray(_bitrev_indices(A))]
+    x = x[:, jnp.asarray(_bitrev_indices(B))]
+    return x.transpose(1, 0, 2).reshape(n, 4)
 
 
 def ntt(values, root_int=None):
@@ -421,7 +459,7 @@ def ntt(values, root_int=None):
         root_int = hostfield.get_root_of_unity(n)
     tw = power_series(int(root_int), n // 2)
     out = _ntt_stages(values, tw)
-    return out[jnp.asarray(_bitrev_indices(n))]
+    return _bitrev_permute(out, n)
 
 
 def intt(values, root_int=None):
@@ -433,7 +471,7 @@ def intt(values, root_int=None):
         root_int = hostfield.get_root_of_unity(n)
     inv_root = pow(int(root_int), n - 1, M)
     tw = power_series(inv_root, n // 2)
-    out = _ntt_stages(values, tw)[jnp.asarray(_bitrev_indices(n))]
+    out = _bitrev_permute(_ntt_stages(values, tw), n)
     inv_n = hostfield.inv(n)
     return mul(out, jnp.broadcast_to(constant(inv_n), out.shape))
 
@@ -491,14 +529,13 @@ def ntt_four_step(values, root_int=None, max_rows=None):
     A = values.reshape(n2, n1, 4).transpose(1, 0, 2)
 
     tw2 = power_series(root_n2, n2 // 2)
-    rev2 = jnp.asarray(_bitrev_indices(n2))
     w_small = _twiddle_rows(
         power_series(root_int, rb), n2)      # (rb, N2, 4): w^(r*j2)
 
     rows = []
     for lo in range(0, n1, rb):
         chunk = jax.lax.dynamic_slice_in_dim(A, lo, rb, axis=0)
-        b = jax.vmap(lambda v: _ntt_stages(v, tw2)[rev2])(chunk)
+        b = jax.vmap(lambda v: _bitrev_permute(_ntt_stages(v, tw2), n2))(chunk)
         prefix = power_series(pow(root_int, lo, M), n2)   # w^(lo*j2)
         rows.append(mul(b, mul(w_small, prefix[None, :, :])))
     B = rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
@@ -525,12 +562,12 @@ def _ntt_stages_batched(values, tw):
     n = values.shape[0]
     b = values.shape[1]
     levels = n.bit_length() - 1
-    pair_idx = jnp.arange(n // 2, dtype=jnp.uint32)
+    W = _stage_twiddles(tw)
 
     def body(s, x):
         a = x[: n // 2]
         c = x[n // 2 :]
-        w = tw[(pair_idx >> s) << s][:, None, :]
+        w = jax.lax.dynamic_index_in_dim(W, s, axis=0, keepdims=False)[:, None, :]
         even = add(a, c)
         odd = mul(sub(a, c), jnp.broadcast_to(w, a.shape))
         return jnp.stack([even, odd], axis=1).reshape(n, b, 4)

@@ -469,11 +469,9 @@ def _compose_kernel(a1, a2, polys, c_poly, c_lde, root4, z4, nz4,
     base = fj.add(t1, t2)
 
     # degree adjustment: base * k1 + base * x^incr * k2.  x_j^incr =
-    # xs[(j * incr) mod n]; n is a power of two, so the uint32 product's low
-    # bits are exact and the mod collapses to a mask
-    j = jnp.arange(n, dtype=jnp.uint32)
-    idx = (j * jnp.uint32(incr % n)) & jnp.uint32(n - 1)
-    x_incr = xs[idx]
+    # (g^incr)^j - a fresh power series, not a full-domain gather (the
+    # tunneled XLA backend's compile time scales with gather size)
+    x_incr = fj.power_series_dev(fj.exp_const(root4, incr), n)
     part1 = fj.mul(base, jnp.broadcast_to(k1, (n, 4)))
     part2 = fj.mul(fj.mul(base, x_incr), jnp.broadcast_to(k2, (n, 4)))
     composed = fj.add(part1, part2)
