@@ -1,59 +1,90 @@
 """Benchmark driver: proof-generation wall time for the Fibonacci program.
 
-Prints one JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints exactly ONE JSON line:
+    {"metric": ..., "value": N, "unit": "seconds", "vs_baseline": N}
 
 Sizing matches the reference's benchmark table (reference README.md:146-162):
-its "Operation Count" column equals the execution-trace length (one VM op
-per trace step; the quoted RAM figures only fit that reading), so we build
-the same Fibonacci program (reference examples/fibonacci.rs) sized so the
-padded trace has exactly 2^k steps and compare against the 2^k table row.
+its "Operation Count" column equals the execution-trace length (one VM op per
+trace step; the quoted RAM figures only fit that reading), so we build the
+same Fibonacci program (reference examples/fibonacci.rs) sized so the padded
+trace has exactly 2^k steps and compare against the 2^k table row.
 vs_baseline is baseline_time / our_time (>1 = faster than the reference's
 published single-core number).
 
-Usage: python bench.py [log2_trace]   (default 16 -> the 18 s baseline row)
+Usage: python bench.py [log2_trace]     (explicit size: bench that one size)
+       python bench.py                  (ladder: climb 2^12 -> 2^18 as the
+                                         deadline allows, report the largest)
 
-The first proof at a given trace geometry triggers XLA compilation; we prove
-once to warm the caches and report the steady-state time of the second run.
-If the TPU tunnel is unresponsive the benchmark falls back to CPU rather
-than hanging.
+Reliability design (the round-1 run timed out and reported nothing):
+- ONE process only.  The TPU in this deployment sits behind a network tunnel
+  where backend init + first compile costs ~1-2 minutes, and two processes
+  opening the device serialize against each other -- so no subprocess probes.
+- A watchdog thread prints the best measurement so far and hard-exits before
+  the external deadline (DISTAFF_BENCH_DEADLINE_S, default 480 s), so a
+  wedged tunnel or a too-ambitious size can never yield "no output".
+- The ladder starts small: the first rung doubles as the device probe and
+  guarantees some measurement lands even if larger sizes don't fit.
 """
 
 import json
 import os
-import subprocess
 import sys
+import threading
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/distaff_tpu_jax_cache")
+_START = time.time()
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+DEADLINE_S = float(os.environ.get("DISTAFF_BENCH_DEADLINE_S", "480"))
+MARGIN_S = 8.0  # watchdog fires this long before the deadline
 
 # reference proving times (seconds) by log2(trace length), README.md:151-157
 BASELINES = {8: 0.19, 10: 0.35, 12: 1.0, 14: 4.5, 16: 18.0, 18: 78.0, 20: 1080.0}
 
+_lock = threading.Lock()
+_best = None  # best (largest-size) completed measurement
+_done = threading.Event()
 
-def _tpu_alive(timeout_s=75, attempts=2):
-    """Probe the device with a trivial op in a subprocess so a wedged tunnel
-    can't hang the benchmark itself."""
-    probe = ("import jax, jax.numpy as jnp; "
-             "assert int((jnp.arange(8, dtype=jnp.uint32) + 1).sum()) == 36; "
-             "print('ok' if jax.devices()[0].platform != 'cpu' else 'cpu')")
-    for attempt in range(attempts):
-        try:
-            out = subprocess.run(
-                [sys.executable, "-c", probe], capture_output=True,
-                timeout=timeout_s, text=True,
-                env=dict(os.environ, JAX_COMPILATION_CACHE_DIR=""),
-            )
-            if out.returncode == 0:
-                return out.stdout.strip() == "ok"
-            print(f"# TPU probe rc={out.returncode}: {out.stderr[-200:]}",
-                  file=sys.stderr)
-        except subprocess.TimeoutExpired:
-            print("# TPU probe timed out", file=sys.stderr)
-        if attempt + 1 < attempts:
-            time.sleep(5)
-    return False
+
+def _record(log2_trace, elapsed, warm):
+    global _best
+    with _lock:
+        baseline = BASELINES[log2_trace]
+        _best = {
+            "metric": f"fibonacci_2^{log2_trace}_step_trace_proof_gen_wall_time",
+            "value": round(elapsed, 3),
+            "unit": "seconds",
+            "vs_baseline": round(baseline / elapsed, 4),
+        }
+    print(f"# 2^{log2_trace}: {elapsed:.2f}s steady (warm-up incl. compile "
+          f"{warm:.1f}s); baseline {baseline}s", file=sys.stderr)
+
+
+def _emit_and_exit(code=0):
+    with _lock:
+        out = _best or {
+            "metric": "fibonacci_proof_gen_wall_time",
+            "value": -1,
+            "unit": "seconds",
+            "vs_baseline": 0,
+            "error": "no measurement completed within deadline",
+        }
+    print(json.dumps(out), flush=True)
+    sys.stderr.flush()
+    os._exit(code)
+
+
+def _watchdog():
+    budget = DEADLINE_S - (time.time() - _START) - MARGIN_S
+    if not _done.wait(timeout=max(1.0, budget)):
+        print("# watchdog: deadline reached, emitting best-so-far",
+              file=sys.stderr)
+        _emit_and_exit(0)
+
+
+def _remaining():
+    return DEADLINE_S - (time.time() - _START) - MARGIN_S
 
 
 def fibonacci_program(assembly, log2_trace):
@@ -65,60 +96,63 @@ def fibonacci_program(assembly, log2_trace):
 
 
 def main():
-    log2_trace = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    explicit = int(sys.argv[1]) if len(sys.argv) > 1 else None
 
-    if os.environ.get("JAX_PLATFORMS") != "cpu" and not _tpu_alive():
-        print("# TPU unavailable; running on CPU", file=sys.stderr)
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        if len(sys.argv) <= 1:
-            # CPU fallback must still finish inside the driver's timeout:
-            # shrink to a size the CPU backend proves in seconds.
-            log2_trace = 12
+    threading.Thread(target=_watchdog, daemon=True).start()
 
+    from distaff_tpu import jax_setup
+    jax_setup.configure()
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
-        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    platform = jax.devices()[0].platform
+    on_cpu = platform == "cpu"
+    print(f"# devices: {jax.devices()} (platform {platform})", file=sys.stderr)
+
+    if explicit is not None:
+        sizes = [explicit]
+    elif on_cpu:
+        sizes = [10, 12, 14]
+    else:
+        sizes = [12, 14, 16, 18, 20]
 
     import distaff_tpu
     from distaff_tpu import assembly, ProgramInputs, ProofOptions
 
-    program = fibonacci_program(assembly, log2_trace)
     inputs = ProgramInputs.from_public([1, 0])
     options = ProofOptions()  # default: ext 32, 50 queries, grind 20 (120-bit)
 
-    # warm-up run (compilation)
-    t0 = time.time()
-    outputs, proof = distaff_tpu.execute(program, inputs, 1, options)
-    warm = time.time() - t0
-    assert proof.trace_length() == 1 << log2_trace, proof.trace_length()
+    prev_warm = None
+    for i, log2_trace in enumerate(sizes):
+        if i > 0:
+            # conservative cost model for the next rung: ~4x the data, plus
+            # a fresh-geometry compile buffer when the cache may be cold
+            predicted = 5.0 * prev_warm + 30.0
+            if _remaining() < predicted:
+                print(f"# skipping 2^{log2_trace}: predicted {predicted:.0f}s"
+                      f" > remaining {_remaining():.0f}s", file=sys.stderr)
+                break
 
-    if warm > 240:
-        # Too slow to afford a second run inside the driver's timeout;
-        # report the warm-up time (pessimistic: includes compilation).
-        elapsed = warm
-    else:
-        # timed run
+        program = fibonacci_program(assembly, log2_trace)
         t0 = time.time()
         outputs, proof = distaff_tpu.execute(program, inputs, 1, options)
-        elapsed = time.time() - t0
+        warm = time.time() - t0
+        assert proof.trace_length() == 1 << log2_trace, proof.trace_length()
+        assert distaff_tpu.verify(
+            program.hash, inputs.get_public_inputs(), outputs, proof)
 
-    # sanity: the proof must verify
-    assert distaff_tpu.verify(
-        program.hash, inputs.get_public_inputs(), outputs, proof)
+        # steady-state timing: re-run if the budget affords it, otherwise
+        # report the warm-up time (pessimistic: includes compilation)
+        if _remaining() > 1.5 * warm:
+            t0 = time.time()
+            outputs, proof = distaff_tpu.execute(program, inputs, 1, options)
+            elapsed = time.time() - t0
+        else:
+            elapsed = warm
+        _record(log2_trace, elapsed, warm)
+        prev_warm = min(warm, 3.0 * elapsed)
 
-    baseline = BASELINES[log2_trace]
-    print(json.dumps({
-        "metric": f"fibonacci_2^{log2_trace}_step_trace_proof_gen_wall_time",
-        "value": round(elapsed, 3),
-        "unit": "seconds",
-        "vs_baseline": round(baseline / elapsed, 4),
-    }))
-    print(f"# baseline {baseline}s (reference README.md 2^{log2_trace} row); "
-          f"warm-up (incl. compile): {warm:.1f}s; devices: {jax.devices()}",
-          file=sys.stderr)
+    _done.set()
+    _emit_and_exit(0)
 
 
 if __name__ == "__main__":

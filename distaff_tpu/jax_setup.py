@@ -15,7 +15,10 @@ import os
 
 _CONFIGURED = False
 
-DEFAULT_CACHE_DIR = "/tmp/distaff_tpu_jax_cache"
+# Repo-local so the warmed cache survives anything that clears /tmp between
+# proving sessions (gitignored).
+DEFAULT_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
 
 
 def configure():
@@ -35,3 +38,13 @@ def configure():
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:  # pragma: no cover - older jax without these flags
         pass
+
+    # The TPU plugin in this deployment registers its platform regardless of
+    # JAX_PLATFORMS, so requesting CPU via the standard env var silently still
+    # dispatches to the (slow, tunneled) device.  Honor the request by pinning
+    # the default device to CPU programmatically.
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        try:
+            jax.config.update("jax_default_device", jax.devices("cpu")[0])
+        except RuntimeError:  # pragma: no cover
+            pass

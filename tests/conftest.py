@@ -1,4 +1,5 @@
 import os
+import pathlib
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
 # exercised without TPU hardware; the real-chip path is covered by bench.py.
@@ -12,7 +13,8 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/distaff_tpu_jax_cache"))
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 str(pathlib.Path(__file__).resolve().parent.parent / ".jax_cache")))
 try:
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 except RuntimeError:
