@@ -156,4 +156,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as exc:  # noqa: BLE001 - the JSON line must land
+        import traceback
+        traceback.print_exc()
+        print(f"# rung failed: {exc!r}; emitting best-so-far", file=sys.stderr)
+        _done.set()
+        _emit_and_exit(0)

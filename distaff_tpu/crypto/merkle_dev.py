@@ -11,12 +11,20 @@ node i's children at 2i, 2i+1; here each level is kept as a separate
 (n_k, 8) uint32 device array instead.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .merkle import BatchMerkleProof
+from .merkle import BatchMerkleProof, build_merkle_nodes
 from ..ops.blake3_jax import hash_rows_u32
+
+# leaves per fixed-shape device subtree; trees larger than this split into
+# SUBTREE-leaf device subtrees plus a host-hashed cap so the device kernel
+# compiles once for every tree size (see ops/tiles.py module docstring)
+SUBTREE = int(os.environ.get("DISTAFF_MERKLE_SUBTREE", 1 << 12))
+_SGROUP = int(os.environ.get("DISTAFF_MERKLE_SGROUP", 8))
 
 
 @jax.jit
@@ -33,6 +41,31 @@ def _build_flat_nodes(leaves_u32):
         levels.append(cur)
         size //= 2
     return jnp.concatenate([jnp.zeros((1, 8), dtype=jnp.uint32)] + levels[::-1])
+
+
+@jax.jit
+def _build_subtree_nodes(leaves_u32):
+    """(_SGROUP, SUBTREE, 8) leaf groups -> (_SGROUP, SUBTREE, 8) local flat
+    node arrays (row 0 unused, subtree root at local index 1).  Fixed shape:
+    compiles once for every tree size and proof geometry."""
+    sg, size = leaves_u32.shape[0], leaves_u32.shape[1]
+    levels = []
+    cur = leaves_u32
+    while size > 1:
+        cur = hash_rows_u32(
+            cur.reshape(sg * size // 2, 16), 64).reshape(sg, size // 2, 8)
+        levels.append(cur)
+        size //= 2
+    return jnp.concatenate(
+        [jnp.zeros((sg, 1, 8), dtype=jnp.uint32)] + levels[::-1], axis=1)
+
+
+def make_device_tree(leaves_u32):
+    """Factory: fixed-shape tiled tree for large leaf counts, single-dispatch
+    tree for small ones (whose compiles are cheap)."""
+    if leaves_u32.shape[0] > SUBTREE:
+        return TiledDeviceMerkleTree(leaves_u32)
+    return DeviceMerkleTree(leaves_u32)
 
 
 class DeviceMerkleTree:
@@ -153,3 +186,72 @@ class DeviceMerkleTree:
             nodes[i].append(value)
 
         return BatchMerkleProof(values, nodes, depth)
+
+
+class TiledDeviceMerkleTree(DeviceMerkleTree):
+    """DeviceMerkleTree for N > SUBTREE leaves built from fixed-shape device
+    kernels: the bottom log2(SUBTREE) levels are hashed as SUBTREE-leaf
+    subtrees (one compiled kernel for every tree size), and the cap tree over
+    the subtree roots (<= N/SUBTREE 32-byte digests, a few hundred KB) is
+    hashed on the host by the native BLAKE3 Merkle builder.
+
+    Node *values* are identical to a monolithic build, so roots and batch
+    proofs are byte-identical; only where each node is stored differs."""
+
+    def __init__(self, leaves_u32):
+        n = leaves_u32.shape[0]
+        assert n > SUBTREE and n & (n - 1) == 0
+        self.n = n
+        self.values = leaves_u32
+        n_sub = n // SUBTREE
+        grouped = leaves_u32.reshape(n_sub, SUBTREE, 8)
+
+        parts = []
+        for lo in range(0, n_sub, _SGROUP):
+            chunk = grouped[lo : lo + _SGROUP]
+            pad = _SGROUP - chunk.shape[0]
+            if pad:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.zeros((pad, SUBTREE, 8), dtype=jnp.uint32)])
+            parts.append(_build_subtree_nodes(chunk))
+        sub_nodes = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        # (n_sub, SUBTREE, 8), local flat layout per subtree
+        self.sub_nodes = sub_nodes[:n_sub]
+
+        roots = np.ascontiguousarray(
+            np.asarray(self.sub_nodes[:, 1, :])).view(np.uint8).reshape(n_sub, 32)
+        # host cap: internal nodes of the tree whose leaves are the subtree
+        # roots; cap flat index i == global flat index i (levels above the
+        # subtree roots)
+        self.cap_levels = n_sub.bit_length() - 1
+        self.cap_nodes = build_merkle_nodes(roots, "blake3")  # (2*n_sub, 32) u8
+        self._root = self.cap_nodes[1].tobytes()
+
+    def _gather_nodes(self, node_indexes):
+        if not node_indexes:
+            return []
+        # cap internal nodes occupy global flat indexes [1, n_sub); deeper
+        # nodes live in the device subtrees
+        n_sub = self.n // SUBTREE
+        out = [None] * len(node_indexes)
+        dev_flat = []
+        dev_slots = []
+        for slot, i in enumerate(node_indexes):
+            if i < n_sub:
+                out[slot] = self.cap_nodes[i].tobytes()
+            else:
+                k = i.bit_length() - 1          # global level
+                p = i - (1 << k)                # position within level
+                kl = k - self.cap_levels        # level within subtree (>= 0)
+                j = p >> kl                     # subtree index
+                local = (1 << kl) + (p & ((1 << kl) - 1))
+                dev_flat.append(j * SUBTREE + local)
+                dev_slots.append(slot)
+        if dev_flat:
+            from ..ops.gather import gather_rows
+            flat = self.sub_nodes.reshape(n_sub * SUBTREE, 8)
+            rows = np.ascontiguousarray(gather_rows(flat, dev_flat))
+            rows = rows.view(np.uint8).reshape(len(dev_flat), 32)
+            for slot, k in zip(dev_slots, range(len(dev_flat))):
+                out[slot] = rows[k].tobytes()
+        return out

@@ -119,8 +119,21 @@ def hash_trace_rows_dev(lde_dev):
     byte_len = r * 16
     if byte_len > 1024:
         return None
-    rows = jnp.transpose(lde_dev, (1, 0, 2)).reshape(d, r * 4)
-    return hash_rows_u32(rows, byte_len)
+    from . import tiles
+
+    # tile the domain axis so the transpose temporary stays bounded (a full
+    # (R, D, 4) -> (D, R*4) transpose at a 2^25 domain is a multi-GB copy)
+    parts = []
+    for lo in range(0, d, tiles.TILE):
+        width = min(tiles.TILE, d - lo)
+        chunk = jax.lax.dynamic_slice_in_dim(lde_dev, lo, width, axis=1)
+        if width < tiles.TILE:  # pad so the kernel shape stays fixed
+            chunk = jnp.concatenate(
+                [chunk, jnp.zeros((r, tiles.TILE - width, 4), dtype=jnp.uint32)],
+                axis=1)
+        rows = jnp.transpose(chunk, (1, 0, 2)).reshape(tiles.TILE, r * 4)
+        parts.append(hash_rows_u32(rows, byte_len)[:width])
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
 
 def hash_trace_rows(lde_dev):

@@ -45,8 +45,7 @@ _INV_K = [
 ]
 
 
-@jax.jit
-def fold_rows(ys, x0, special_x):
+def _fold_rows_impl(ys, x0, special_x):
     """ys: (q, 4, 4limbs) rows; x0: (q, 4limbs) first-column nodes;
     special_x: (4,) limbs -> (q, 4limbs)."""
     sx = jnp.broadcast_to(special_x, x0.shape)
@@ -72,6 +71,9 @@ def fold_rows(ys, x0, special_x):
     acc = fj.add(acc, fj.mul_scalar(fj.mul(ys[:, 2, :], n2), _INV_K[2]))
     acc = fj.add(acc, fj.mul_scalar(fj.mul(ys[:, 3, :], n3), _INV_K[3]))
     return fj.mul(acc, inv_x0_cubed)
+
+
+fold_rows = jax.jit(_fold_rows_impl)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))

@@ -1,0 +1,333 @@
+"""Geometry-stable (fixed-tile) device kernels.
+
+Every jitted kernel in the proving pipeline specializes on its input shapes,
+and those shapes scale with the trace geometry - so each new trace length
+used to trigger a fresh set of XLA compiles.  In this deployment the XLA
+compile path runs over a network tunnel where a single kernel compile costs
+seconds to minutes, and even *loading* a persistently-cached executable costs
+seconds - so per-geometry kernels made the first proof at each size cost
+minutes of wall clock (measured: 621 s for a 2^12-step trace, ~390 s with a
+fully warm persistent cache).
+
+This module re-expresses the shape-dependent kernels as loops over
+fixed-shape tiles:
+
+- pointwise row work (FRI folds, power series, scaling) runs on (TILE, 4)
+  limb tiles, padded at the end;
+- batched-leaf NTTs decompose any size-n transform into Bailey four-step
+  recursion whose device kernels only ever see (LEAF, BTILE, 4) tiles;
+- BLAKE3 leaf hashing runs on (HASH_TILE, W) row tiles;
+- weighted register sums tile both the register axis (fixed-size groups,
+  zero-padded weights) and the domain axis.
+
+One compiled kernel set therefore serves every trace length, every
+extension factor, and every register count: proving a fresh program size
+reuses the in-process executables that the first proof loaded.
+
+All functions compute bit-identical field values to their per-shape
+equivalents in math.field_jax / ops.fri_jax (tiling is pure data movement);
+tests/test_tiles.py asserts equality against those and against host bigint
+oracles.
+
+Tile sizes come from env vars once at import (tests set them small to
+exercise multi-tile and recursion paths on tiny inputs):
+    DISTAFF_TILE       pointwise rows per tile        (default 2^16)
+    DISTAFF_NTT_LEAF   leaf transform size            (default 2^10)
+    DISTAFF_NTT_BTILE  leaf batch columns per tile    (default 2^9)
+"""
+
+import functools
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..math import field as hostfield
+from ..math import field_jax as fj
+
+M = hostfield.M
+
+TILE = int(os.environ.get("DISTAFF_TILE", 1 << 16))
+LEAF = int(os.environ.get("DISTAFF_NTT_LEAF", 1 << 10))
+BTILE = int(os.environ.get("DISTAFF_NTT_BTILE", 1 << 9))
+
+assert TILE & (TILE - 1) == 0 and LEAF & (LEAF - 1) == 0
+assert BTILE & (BTILE - 1) == 0
+
+
+def _pad_rows(x, multiple):
+    """Pad axis 0 of (n, ...) up to a multiple; returns (padded, n)."""
+    n = x.shape[0]
+    rem = (-n) % multiple
+    if rem == 0:
+        return x, n
+    pad_shape = (rem,) + x.shape[1:]
+    return jnp.concatenate([x, jnp.zeros(pad_shape, dtype=x.dtype)]), n
+
+
+# ------------------------------------------------------------------------------------------------
+# power series
+# ------------------------------------------------------------------------------------------------
+
+@jax.jit
+def _ps_tile(base, prefix):
+    """prefix * [base^0 .. base^(TILE-1)]: one fixed-shape kernel."""
+    ps = fj.power_series_dev(base, TILE)
+    return fj.mul(ps, jnp.broadcast_to(prefix, (TILE, 4)))
+
+
+def power_series(x_int, n):
+    """[x^0 .. x^(n-1)] as an (n, 4) device array via fixed-size tiles.
+
+    The per-tile prefix x^lo is a host pow() - the base is always
+    host-known (roots of unity, transcript draws)."""
+    x_int = int(x_int) % M
+    if n <= 0:
+        return fj.zeros((0,))
+    base = fj.constant(x_int)
+    tiles = []
+    for lo in range(0, n, TILE):
+        prefix = fj.constant(pow(x_int, lo, M))
+        tiles.append(_ps_tile(base, prefix))
+    out = tiles[0] if len(tiles) == 1 else jnp.concatenate(tiles)
+    return out[:n]
+
+
+# ------------------------------------------------------------------------------------------------
+# pointwise helpers
+# ------------------------------------------------------------------------------------------------
+
+@jax.jit
+def _scale_tile(x, c):
+    return fj.mul(x, jnp.broadcast_to(c, x.shape))
+
+
+def scale(values, c_int):
+    """values * c (constant), tiled over axis 0 of an (n, 4) array."""
+    padded, n = _pad_rows(values, TILE)
+    c = fj.constant(int(c_int) % M)
+    parts = [_scale_tile(padded[lo : lo + TILE], c)
+             for lo in range(0, padded.shape[0], TILE)]
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    return out[:n]
+
+
+# ------------------------------------------------------------------------------------------------
+# FRI fold
+# ------------------------------------------------------------------------------------------------
+
+@jax.jit
+def _fold_tile(ys, x0, special_x):
+    from .fri_jax import _fold_rows_impl
+    return _fold_rows_impl(ys, x0, special_x)
+
+
+def fold_rows(ys, x0, special_x):
+    """ops.fri_jax.fold_rows with the row axis tiled: (q, 4, 4) x (q, 4)
+    -> (q, 4) using one fixed (TILE, ...) kernel for every layer size of
+    every proof.  Padding rows fold to garbage and are sliced off."""
+    q = ys.shape[0]
+    if q <= 0:
+        return fj.zeros((0,))
+    ys_p, _ = _pad_rows(ys, TILE)
+    x0_p, _ = _pad_rows(x0, TILE)
+    parts = [_fold_tile(ys_p[lo : lo + TILE], x0_p[lo : lo + TILE], special_x)
+             for lo in range(0, ys_p.shape[0], TILE)]
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    return out[:q]
+
+
+# ------------------------------------------------------------------------------------------------
+# BLAKE3 row hashing
+# ------------------------------------------------------------------------------------------------
+
+def hash_rows(rows_u32, byte_len):
+    """ops.blake3_jax.hash_rows_u32 with the row axis tiled; the kernel
+    shape depends only on the row width (register count bucket), not on
+    the domain size."""
+    from .blake3_jax import hash_rows_u32
+    padded, n = _pad_rows(rows_u32, TILE)
+    parts = [hash_rows_u32(padded[lo : lo + TILE], byte_len)
+             for lo in range(0, padded.shape[0], TILE)]
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    return out[:n]
+
+
+# ------------------------------------------------------------------------------------------------
+# weighted register sums
+# ------------------------------------------------------------------------------------------------
+
+_RGROUP = 8  # registers per fixed group (zero-padded weights)
+
+
+@jax.jit
+def _wsum_tile(lde_tile, weights):
+    """(RGROUP, TILE, 4) x (RGROUP, 4) -> (TILE, 4)."""
+    products = fj.mul(lde_tile, weights[:, None, :])
+    return fj.sum_reduce(products, axis=0)
+
+
+def weighted_register_sum(lde, weights):
+    """sum_i weights[i] * lde[i] over (R, D, 4): both axes tiled so one
+    compiled kernel serves every register count and domain size."""
+    r, d = lde.shape[0], lde.shape[1]
+    parts = []
+    for lo in range(0, d, TILE):
+        width = min(TILE, d - lo)
+        tile_total = None
+        for rlo in range(0, r, _RGROUP):
+            chunk = lde[rlo : rlo + _RGROUP, lo : lo + TILE]
+            w = weights[rlo : rlo + _RGROUP]
+            if chunk.shape[0] < _RGROUP:
+                pad = _RGROUP - chunk.shape[0]
+                chunk = jnp.concatenate(
+                    [chunk, jnp.zeros((pad,) + chunk.shape[1:], dtype=jnp.uint32)])
+                w = jnp.concatenate([w, jnp.zeros((pad, 4), dtype=jnp.uint32)])
+            if chunk.shape[1] < TILE:
+                pad = TILE - chunk.shape[1]
+                chunk = jnp.concatenate(
+                    [chunk, jnp.zeros((_RGROUP, pad, 4), dtype=jnp.uint32)], axis=1)
+            part = _wsum_tile(chunk, w)
+            tile_total = part if tile_total is None else fj.add(tile_total, part)
+        parts.append(tile_total[:width])
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+
+# ------------------------------------------------------------------------------------------------
+# NTT: Bailey four-step recursion over fixed-size leaf kernels
+# ------------------------------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _leaf_ntt_tile(values, tw, n_leaf):
+    """Natural-order NTT of size n_leaf along axis 0, batch axis 1.
+
+    values: (n_leaf, BTILE, 4); tw: (n_leaf/2, 4) power series of the
+    size-n_leaf root.  n_leaf is drawn from the tiny set of powers of two
+    <= LEAF, so these kernels compile a bounded number of times ever."""
+    out = fj._ntt_stages_batched(values, tw)
+    rev = jnp.asarray(fj._bitrev_indices(n_leaf))
+    return out[rev]
+
+
+def _leaf_ntt(values, root_int):
+    """(n, B, 4) -> natural-order NTT along axis 0 for n <= LEAF, with the
+    batch axis tiled to BTILE columns (padded; extra columns transform to
+    garbage and are sliced off)."""
+    n, b = values.shape[0], values.shape[1]
+    if n == 1:
+        return values
+    tw = power_series(root_int, n // 2)
+    rem = (-b) % BTILE
+    if rem:
+        values = jnp.concatenate(
+            [values, jnp.zeros((n, rem, 4), dtype=jnp.uint32)], axis=1)
+    parts = [
+        _leaf_ntt_tile(values[:, lo : lo + BTILE], tw, n)
+        for lo in range(0, values.shape[1], BTILE)
+    ]
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    return out[:, :b]
+
+
+# twiddle tile geometry: (RGROUP_T k1-rows, LEAF j2-columns, BTWID batch)
+_RGROUP_T = int(os.environ.get("DISTAFF_NTT_TGROUP", 64))
+_BTWID = int(os.environ.get("DISTAFF_NTT_TBATCH", 8))
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _twiddle_tile(block, bases, prefix, n2):
+    """block: (RGROUP_T, n2, BTWID, 4) rows k1 in a group; multiply row r by
+    the power series of (prefix * bases[r]) over j2 - i.e. by
+    w^((lo + r) * j2) with bases[r] = w^r, prefix = w^lo."""
+    rows = jax.vmap(lambda bx: fj.power_series_dev(bx, n2))(
+        fj.mul(bases, jnp.broadcast_to(prefix, bases.shape)))  # (RG, n2, 4)
+    return fj.mul(block, rows[:, :, None, :])
+
+
+def _apply_twiddles(bv, root_int, n1, n2, b):
+    """bv: (n2, n1, B, 4) with bv[j2, k1] *= w^(k1*j2); both the k1 and
+    batch axes run in fixed-size tiles.  root_int = w, the size-(n1*n2)
+    root."""
+    w = int(root_int)
+    bases = fj.from_ints(
+        np.array([pow(w, r, M) for r in range(_RGROUP_T)], dtype=object))
+    x = bv.transpose(1, 0, 2, 3)  # (n1, n2, B, 4)
+    x, _ = _pad_rows(x, _RGROUP_T)
+    rem = (-b) % _BTWID
+    if rem:
+        x = jnp.concatenate(
+            [x, jnp.zeros(x.shape[:2] + (rem, 4), dtype=jnp.uint32)], axis=2)
+    row_parts = []
+    for lo in range(0, x.shape[0], _RGROUP_T):
+        prefix = fj.constant(pow(w, lo, M))
+        cols = [
+            _twiddle_tile(x[lo : lo + _RGROUP_T, :, c : c + _BTWID],
+                          bases, prefix, n2)
+            for c in range(0, x.shape[2], _BTWID)
+        ]
+        row_parts.append(
+            cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=2))
+    out = row_parts[0] if len(row_parts) == 1 else jnp.concatenate(row_parts)
+    return out[:n1, :, :b].transpose(1, 0, 2, 3)
+
+
+def ntt_batched(values, root_int):
+    """Natural-order NTT of size n along axis 0 of (n, B, 4), batched over
+    axis 1, built entirely from fixed-shape device kernels.
+
+    Bailey four-step with a fixed leaf size (reference src/math/fft.rs is
+    the radix-2 recursion this replaces): split n = n1 * n2 (n2 = LEAF),
+    row transforms of size n2, twiddle by w^(k1*j2), then recurse on the
+    size-n1 column transforms with the batch folded in.
+    """
+    n, b = values.shape[0], values.shape[1]
+    root_int = int(root_int)
+    if n <= LEAF:
+        return _leaf_ntt(values, root_int)
+
+    n2 = LEAF
+    n1 = n // n2
+
+    # A2[k2, k1*B + b] = a[k1 + n1*k2, b]
+    a2 = values.reshape(n2, n1 * b, 4)
+    bv = _leaf_ntt(a2, pow(root_int, n1, M))          # NTT over k2
+    bv = bv.reshape(n2, n1, b, 4)
+    bv = _apply_twiddles(bv, root_int, n1, n2, b)     # *= w^(k1*j2)
+
+    cin = bv.transpose(1, 0, 2, 3).reshape(n1, n2 * b, 4)
+    c = ntt_batched(cin, pow(root_int, n2, M))        # size-n1 transforms
+    return c.reshape(n, b, 4)
+
+
+def ntt(values, root_int=None):
+    """Drop-in for field_jax.ntt: (n, 4) coefficient vector -> evaluations,
+    natural order, fixed-shape kernels only."""
+    n = values.shape[0]
+    if n == 1:
+        return values
+    if root_int is None:
+        root_int = hostfield.get_root_of_unity(n)
+    return ntt_batched(values[:, None, :], int(root_int))[:, 0, :]
+
+
+def intt_batched(values, root_int=None):
+    """Inverse NTT along axis 0 of (n, B, 4): forward transform with the
+    inverse root, scaled by 1/n."""
+    n = values.shape[0]
+    if n == 1:
+        return values
+    if root_int is None:
+        root_int = hostfield.get_root_of_unity(n)
+    inv_root = pow(int(root_int), n - 1, M)
+    out = ntt_batched(values, inv_root)
+    inv_n = hostfield.inv(n)
+    shape = out.shape
+    return scale(out.reshape(-1, 4), inv_n).reshape(shape)
+
+
+def intt(values, root_int=None):
+    n = values.shape[0]
+    if n == 1:
+        return values
+    return intt_batched(values[:, None, :], root_int)[:, 0, :]

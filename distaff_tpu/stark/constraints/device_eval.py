@@ -109,8 +109,8 @@ def _as_col(value, n):
 @functools.partial(
     jax.jit, static_argnames=("ctx_depth", "loop_depth", "stack_depth", "groups"))
 def _transition_kernel(lde, nxt, dec_ark, dec_masks, stk_ark, cc, xp_bases,
-                       xp_prefix, excl, *, ctx_depth, loop_depth, stack_depth,
-                       groups):
+                       xp_prefix, excl, n_real, *, ctx_depth, loop_depth,
+                       stack_depth, groups):
     """One fused device kernel over a fixed-size chunk of the evaluation
     domain: AIR sweep + degree-grouped random linear combination.
 
@@ -124,7 +124,10 @@ def _transition_kernel(lde, nxt, dec_ark, dec_masks, stk_ark, cc, xp_bases,
     power series starts at the right exponent.
     excl: local index of the final trace step (its wraparound transition is
     legitimately nonzero), or -1 when outside this chunk.
-    Returns (combined column (C, 4), count of trace-step rows where the
+    n_real: rows < n_real are real; the rest are cyclic padding used when the
+    whole evaluation domain is smaller than one chunk (small traces reuse the
+    big-trace kernel instead of compiling their own).
+    Returns (combined column (C, 4), count of real trace-step rows where the
     combined column is nonzero - the debug soundness check)."""
     r_count, n = lde.shape[0], lde.shape[1]
     reps = n // dec_ark.shape[1]
@@ -175,8 +178,9 @@ def _transition_kernel(lde, nxt, dec_ark, dec_masks, stk_ark, cc, xp_bases,
 
     combined = result.arr
     trace_rows = combined[::MAX_CONSTRAINT_DEGREE]
-    keep = (jnp.arange(trace_rows.shape[0], dtype=jnp.int32)
-            != excl // MAX_CONSTRAINT_DEGREE)
+    idx = jnp.arange(trace_rows.shape[0], dtype=jnp.int32)
+    keep = ((idx != excl // MAX_CONSTRAINT_DEGREE)
+            & (idx < n_real // MAX_CONSTRAINT_DEGREE))
     bad = jnp.sum(
         (jnp.any(trace_rows != 0, axis=1) & keep).astype(jnp.uint32))
     return combined, bad
@@ -233,12 +237,24 @@ def evaluate_transition_device(evaluator, trace, debug_check=True):
     cc = fj.from_ints(np.array(evaluator.coefficients.transition, dtype=object))
     groups = tuple(tuple(cs) for _, cs in evaluator.t_degree_groups)
 
-    chunk = min(int(os.environ.get("DISTAFF_AIR_CHUNK_ROWS", 1 << 16)), n_ev)
-    assert n_ev % chunk == 0 and chunk % (16 * MAX_CONSTRAINT_DEGREE) == 0
+    chunk = int(os.environ.get("DISTAFF_AIR_CHUNK_ROWS", 1 << 16))
+    assert chunk % (16 * MAX_CONSTRAINT_DEGREE) == 0
 
     # rows 8 ahead with wraparound, so chunks never roll across their edge
     ext = jnp.concatenate(
         [lde[:, MAX_CONSTRAINT_DEGREE:], lde[:, :MAX_CONSTRAINT_DEGREE]], axis=1)
+
+    n_real = n_ev
+    if n_ev < chunk:
+        # cyclic padding up to one full chunk: small traces reuse the same
+        # compiled kernel as large ones (the ARK/mask cycle is 128 rows and
+        # n_ev is a multiple of it, so tiling keeps the periodic constants
+        # aligned); padded rows are sliced off below
+        reps = chunk // n_ev
+        lde = jnp.tile(lde, (1, reps, 1))
+        ext = jnp.tile(ext, (1, reps, 1))
+    else:
+        assert n_ev % chunk == 0
 
     root_ev = field.get_root_of_unity(n_ev)
     xp_bases = [field.exp(root_ev, incr) for incr, _ in evaluator.t_degree_groups]
@@ -246,7 +262,7 @@ def evaluate_transition_device(evaluator, trace, debug_check=True):
 
     parts = []
     bad_total = []
-    for lo in range(0, n_ev, chunk):
+    for lo in range(0, max(n_ev, chunk), chunk):
         xp_prefix = fj.from_ints(np.array(
             [field.exp(b, lo) for b in xp_bases], dtype=object))
         excl = jnp.asarray(
@@ -256,7 +272,7 @@ def evaluate_transition_device(evaluator, trace, debug_check=True):
             jax.lax.dynamic_slice_in_dim(lde, lo, chunk, axis=1),
             jax.lax.dynamic_slice_in_dim(ext, lo, chunk, axis=1),
             dec_ark, dec_masks, stk_ark, cc, xp_bases_dev,
-            xp_prefix, excl,
+            xp_prefix, excl, jnp.asarray(min(n_real - lo, chunk), jnp.int32),
             ctx_depth=evaluator.ctx_depth, loop_depth=evaluator.loop_depth,
             stack_depth=evaluator.stack_depth, groups=groups)
         parts.append(combined)
@@ -266,4 +282,5 @@ def evaluate_transition_device(evaluator, trace, debug_check=True):
         total = sum(int(b) for b in bad_total)
         assert total == 0, (
             f"transition constraints not satisfied at {total} trace steps")
-    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    return out[:n_ev]

@@ -38,10 +38,10 @@ def _build_layer_tree(rows_dev, hash_name):
     import os
     q = rows_dev.shape[0]
     if hash_name == "blake3" and os.environ.get("DISTAFF_DEVICE_HASH", "1") != "0":
-        from ..ops.blake3_jax import hash_rows_u32
-        from ..crypto.merkle_dev import DeviceMerkleTree
-        digests = hash_rows_u32(rows_dev.reshape(q, 16), 64)
-        return DeviceMerkleTree(digests)
+        from ..ops import tiles
+        from ..crypto.merkle_dev import make_device_tree
+        digests = tiles.hash_rows(rows_dev.reshape(q, 16), 64)
+        return make_device_tree(digests)
     arr = np.asarray(rows_dev)
     rows_bytes = np.ascontiguousarray(arr).reshape(arr.shape[0], -1).view(np.uint8)
     if hash_name == "blake3":
@@ -62,11 +62,13 @@ def reduce(evaluations_dev, domain_root, options):
     Returns (trees, row_values_dev) per layer; the Fiat-Shamir fold point of
     each layer is drawn from that layer's Merkle root.
     """
+    from ..ops import tiles
+
     hash_name = options.hash_fn
     n = evaluations_dev.shape[0]
     # first-column node coordinates [x^0 .. x^(n/4 - 1)]; every subsequent
     # layer's nodes are a [::4] stride of these (fri_jax module docstring)
-    x0 = fj.power_series(domain_root, n // 4)
+    x0 = tiles.power_series(domain_root, n // 4)
 
     tree_results = []
     value_results = []
@@ -76,7 +78,7 @@ def reduce(evaluations_dev, domain_root, options):
 
     while p_values.shape[0] * 4 > MAX_REMAINDER_LENGTH:
         special_x = rand.prng(p_tree.root(), field.M)
-        column = fri_jax.fold_rows(p_values, x0, fj.constant(special_x))
+        column = tiles.fold_rows(p_values, x0, fj.constant(special_x))
         x0 = x0[::4]
 
         c_values = fri_jax.transpose_quartic(column, 1)

@@ -68,9 +68,10 @@ def prove(trace, inputs, outputs, options):
 
     # 5 ----- commit to constraint polynomial evaluations ----------------------------------------
     now = time.time()
+    from ..ops import tiles
     padded = jnp.zeros((domain_size, 4), dtype=jnp.uint32)
     padded = padded.at[: constraint_poly.shape[0]].set(constraint_poly)
-    constraint_lde = fj.ntt(padded, lde_root)
+    constraint_lde = tiles.ntt(padded, lde_root)
     constraint_tree = _build_constraint_tree(constraint_lde, options.hash_fn)
     log.debug("Evaluated constraint polynomial and built constraint tree in %.0f ms",
               (time.time() - now) * 1000)
@@ -171,10 +172,10 @@ def _evaluate_constraints_columnar(evaluator, trace, debug_check=True):
         # x^incr over the evaluation domain is the power series of r^incr -
         # computed on device per degree group instead of gathering a host
         # copy of the full domain power table
+        from ..ops import tiles
         root_ev = field.get_root_of_unity(n_ev)
         xp_u32 = np.stack([
-            np.asarray(fj.power_series_dev(
-                fj.constant(field.exp(root_ev, incr)), n_ev))
+            np.asarray(tiles.power_series(field.exp(root_ev, incr), n_ev))
             for incr, _ in evaluator.t_degree_groups])
         t_u32 = native.eval_transition(
             trace_u32, trace.ctx_depth, trace.loop_depth, trace.stack_depth,
@@ -228,18 +229,19 @@ def _evaluate_boundaries_device(evaluator, trace, stride):
     x^b_degree_adj power series - bit-identical to the reference's per-step
     loop (evaluator.rs:181-326) without any host big-int work.
     """
+    from ..ops import tiles
+
     n_ev = evaluator.domain_size
     lde = trace.lde_dev[:, ::stride, :]                      # (R, n_ev, 4)
     r_ev = field.get_root_of_unity(n_ev)
-    xp = fj.power_series_dev(
-        fj.constant(field.exp(r_ev, evaluator.b_degree_adj)), n_ev)
+    xp = tiles.power_series(field.exp(r_ev, evaluator.b_degree_adj), n_ev)
 
     i_parts, f_parts = evaluator.boundary_weight_vectors(lde.shape[0])
 
     def combine(parts):
         w1, w2, c1, c2 = parts
-        s1 = _weighted_register_sum_chunked(lde, fj.from_ints(np.array(w1, dtype=object)))
-        s2 = _weighted_register_sum_chunked(lde, fj.from_ints(np.array(w2, dtype=object)))
+        s1 = tiles.weighted_register_sum(lde, fj.from_ints(np.array(w1, dtype=object)))
+        s2 = tiles.weighted_register_sum(lde, fj.from_ints(np.array(w2, dtype=object)))
         base = fj.add(s1, jnp.broadcast_to(fj.constant(c1), (n_ev, 4)))
         adj = fj.add(s2, jnp.broadcast_to(fj.constant(c2), (n_ev, 4)))
         return fj.add(base, fj.mul(xp, adj))
@@ -361,9 +363,11 @@ def _combine_constraint_polys(evaluator, i_evals, f_evals, t_evals, trace_length
             return jnp.asarray(evals)
         return fj.from_ints(np.asarray(evals, dtype=object))
 
-    i_poly = fj.intt(_to_limbs(i_evals), ev_root)
-    f_poly = fj.intt(_to_limbs(f_evals), ev_root)
-    t_poly = fj.intt(_to_limbs(t_evals), ev_root)
+    from ..ops import tiles
+    stacked = jnp.stack(
+        [_to_limbs(i_evals), _to_limbs(f_evals), _to_limbs(t_evals)], axis=1)
+    polys3 = tiles.intt_batched(stacked, ev_root)            # one batched iNTT
+    i_poly, f_poly, t_poly = polys3[:, 0], polys3[:, 1], polys3[:, 2]
 
     x_last = evaluator.get_x_at_last_step()
     i_div = _syn_div_dev(i_poly, 1)
@@ -414,103 +418,144 @@ import jax as _jax
 
 
 @_jax.jit
-def _weighted_register_sum(lde, weights):
-    """sum_i weights[i] * lde[i]: (R, D, 4) x (R, 4) -> (D, 4)."""
-    products = fj.mul(lde, weights[:, None, :])
-    return fj.sum_reduce(products, axis=0)
+def _poly_eval_tile(polys, ps):
+    """((RG, T, 4), (T, 4)) -> (RG, 4) partial sums of sum_j p[i,j]*x^j."""
+    return fj.sum_reduce(fj.mul(polys, ps[None]), axis=1)
 
 
-def _weighted_register_sum_chunked(lde, weights):
-    """_weighted_register_sum with the register axis chunked to bound HBM
-    temporaries at multi-GB domains (same budget logic as the LDE NTT);
-    partial sums add up to the identical field result."""
-    r_count, d = lde.shape[0], lde.shape[1]
-    per_lane = d * 16 * 12
-    budget = int(os.environ.get("DISTAFF_NTT_BUDGET_BYTES", 6 << 30))
-    group = max(1, min(r_count, budget // per_lane))
-    if group >= r_count:
-        return _weighted_register_sum(lde, weights)
-    total = None
-    for lo in range(0, r_count, group):
-        chunk = lde[lo : lo + group]
-        w = weights[lo : lo + group]
-        if chunk.shape[0] < group:  # pad to reuse the compiled shape
-            pad = group - chunk.shape[0]
-            chunk = jnp.concatenate(
-                [chunk, jnp.zeros((pad, d, 4), dtype=jnp.uint32)])
-            w = jnp.concatenate([w, jnp.zeros((pad, 4), dtype=jnp.uint32)])
-        part = _weighted_register_sum(chunk, w)
-        total = part if total is None else fj.add(total, part)
-    return total
+def _poly_eval_rows(polys, x_int):
+    """T_i(x) for every register row of (R, n, 4) - tiled over both axes so
+    the kernels are geometry-independent; returns host ints."""
+    from ..ops import tiles
 
-@functools.partial(_jax.jit, static_argnames=("incr",))
-def _compose_kernel(a1, a2, polys, c_poly, c_lde, root4, z4, nz4,
-                    w1, w2, k1, k2, kc, *, incr):
-    """All of step 6 after the chunked register sums, in one device kernel:
-    T_i(z)/T_i(zg) poly evaluations, weighted sums, batched (x-z)/(x-zg)
-    inverses, the index-trick x^incr degree adjustment, and the constraint
-    part.  One dispatch instead of ~20; returns (composed, T(z), T(zg))."""
-    n = c_lde.shape[0]
-    trace_length = polys.shape[1]
+    r, length = polys.shape[0], polys.shape[1]
+    rg, t = tiles._RGROUP, tiles.TILE
+    totals = None
+    for lo in range(0, length, t):
+        width = min(t, length - lo)
+        ps = tiles._ps_tile(fj.constant(x_int), fj.constant(pow(x_int, lo, M)))
+        col_parts = []
+        for rlo in range(0, r, rg):
+            chunk = polys[rlo : rlo + rg, lo : lo + width]
+            if chunk.shape[1] < t:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.zeros((chunk.shape[0], t - chunk.shape[1], 4),
+                                      dtype=jnp.uint32)], axis=1)
+            if chunk.shape[0] < rg:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.zeros((rg - chunk.shape[0], t, 4),
+                                      dtype=jnp.uint32)])
+            col_parts.append(_poly_eval_tile(chunk, ps))
+        col = col_parts[0] if len(col_parts) == 1 else jnp.concatenate(col_parts)
+        totals = col if totals is None else fj.add(totals, col)
+    return [int(v) for v in fj.to_ints(np.asarray(totals))[:r]]
 
-    ps_z = fj.power_series_dev(z4, c_poly.shape[0])
-    ps_nz = fj.power_series_dev(nz4, trace_length)
-    ts1 = fj.sum_reduce(fj.mul(polys, ps_z[None, :trace_length]), axis=1)  # (R, 4)
-    ts2 = fj.sum_reduce(fj.mul(polys, ps_nz[None]), axis=1)
-    s1 = fj.sum_reduce(fj.mul(ts1, w1), axis=0)                            # (4,)
-    s2 = fj.sum_reduce(fj.mul(ts2, w2), axis=0)
 
-    xs = fj.power_series_dev(root4, n)
-    u = fj.inv_batch(fj.sub(xs, jnp.broadcast_to(z4, (n, 4))))
-    v = fj.inv_batch(fj.sub(xs, jnp.broadcast_to(nz4, (n, 4))))
+@_jax.jit
+def _compose_tile(a1, a2, c_t, root4, prefix, z4, nz4, s1, s2, c_at_z,
+                  k1, k2, kc, incr_base, incr_prefix):
+    """One fixed-shape domain tile of the DEEP composition: batched
+    (x-z)/(x-zg) inverses, the x^incr degree adjustment, and the constraint
+    part.  x-coordinates and x^incr rebuild per tile from power series with
+    host-computed tile prefixes, so the kernel never sees the domain size."""
+    t = a1.shape[0]
+    xs = fj.mul(fj.power_series_dev(root4, t), jnp.broadcast_to(prefix, (t, 4)))
+    u = fj.inv_batch(fj.sub(xs, jnp.broadcast_to(z4, (t, 4))))
+    v = fj.inv_batch(fj.sub(xs, jnp.broadcast_to(nz4, (t, 4))))
 
-    t1 = fj.mul(fj.sub(a1, jnp.broadcast_to(s1, (n, 4))), u)
-    t2 = fj.mul(fj.sub(a2, jnp.broadcast_to(s2, (n, 4))), v)
+    t1 = fj.mul(fj.sub(a1, jnp.broadcast_to(s1, (t, 4))), u)
+    t2 = fj.mul(fj.sub(a2, jnp.broadcast_to(s2, (t, 4))), v)
     base = fj.add(t1, t2)
 
-    # degree adjustment: base * k1 + base * x^incr * k2.  x_j^incr =
-    # (g^incr)^j - a fresh power series, not a full-domain gather (the
-    # tunneled XLA backend's compile time scales with gather size)
-    x_incr = fj.power_series_dev(fj.exp_const(root4, incr), n)
-    part1 = fj.mul(base, jnp.broadcast_to(k1, (n, 4)))
-    part2 = fj.mul(fj.mul(base, x_incr), jnp.broadcast_to(k2, (n, 4)))
+    x_incr = fj.mul(fj.power_series_dev(incr_base, t),
+                    jnp.broadcast_to(incr_prefix, (t, 4)))
+    part1 = fj.mul(base, jnp.broadcast_to(k1, (t, 4)))
+    part2 = fj.mul(fj.mul(base, x_incr), jnp.broadcast_to(k2, (t, 4)))
     composed = fj.add(part1, part2)
 
-    # constraint part: (C(x) - C(z)) / (x - z) * cc.constraints
-    c_at_z = fj.dot(c_poly, ps_z)                                          # (4,)
     c_part = fj.mul(
-        fj.mul(fj.sub(c_lde, jnp.broadcast_to(c_at_z, (n, 4))), u),
-        jnp.broadcast_to(kc, (n, 4)))
-    return fj.add(composed, c_part), ts1, ts2
+        fj.mul(fj.sub(c_t, jnp.broadcast_to(c_at_z, (t, 4))), u),
+        jnp.broadcast_to(kc, (t, 4)))
+    return fj.add(composed, c_part)
 
 
 def _build_composition_evaluations(trace, constraint_poly, constraint_lde, z, cc):
+    """Step 6, computed pointwise over the evaluation domain in fixed-shape
+    tiles (reference trace_table.rs:206-261 / constraint_poly.rs:39-52 build
+    the same values by coefficient-space synthetic division)."""
+    from ..ops import tiles
+
     n = trace.domain_size()
     trace_length = trace.unextended_length()
 
     g = field.get_root_of_unity(trace_length)
     next_z = field.mul(z, g)
 
-    # weighted register sums A1(x) = sum_i cc1_i T_i(x), A2 likewise - kept
-    # outside the fused kernel so the register axis stays chunked under the
-    # HBM budget at multi-GB domains
+    # weighted register sums A1(x) = sum_i cc1_i T_i(x), A2 likewise
     lde = trace.lde_dev  # (R, D, 4)
     r_count = trace.register_count()
     w1 = fj.from_ints(np.array(cc.trace1[:r_count], dtype=object))  # (R, 4)
     w2 = fj.from_ints(np.array(cc.trace2[:r_count], dtype=object))
-    a1 = _weighted_register_sum_chunked(lde, w1)
-    a2 = _weighted_register_sum_chunked(lde, w2)
+    a1 = tiles.weighted_register_sum(lde, w1)
+    a2 = tiles.weighted_register_sum(lde, w2)
+
+    # T_i(z), T_i(zg) and the scalar DEEP terms - tiny host big-int math on
+    # tiled device poly evaluations (these are the proof's DeepValues, so
+    # they are needed on the host regardless)
+    trace_state1 = _poly_eval_rows(trace.polys_dev, z)
+    trace_state2 = _poly_eval_rows(trace.polys_dev, next_z)
+    s1 = 0
+    s2 = 0
+    for i in range(r_count):
+        s1 = (s1 + trace_state1[i] * cc.trace1[i]) % M
+        s2 = (s2 + trace_state2[i] * cc.trace2[i]) % M
+    c_at_z = polynom_eval_dev(constraint_poly, z)
 
     incr = utils.get_incremental_trace_degree(trace_length)
-    composed, ts1, ts2 = _compose_kernel(
-        a1, a2, trace.polys_dev, constraint_poly, constraint_lde,
-        fj.constant(field.get_root_of_unity(n)), fj.constant(z),
-        fj.constant(next_z), w1, w2,
-        fj.constant(cc.t1_degree), fj.constant(cc.t2_degree),
-        fj.constant(cc.constraints), incr=incr)
+    root = field.get_root_of_unity(n)
+    incr_base = field.exp(root, incr)
 
-    states = fj.to_ints(np.asarray(jnp.stack([ts1, ts2])))  # one transfer
-    trace_state1 = [int(v) for v in states[0]]
-    trace_state2 = [int(v) for v in states[1]]
+    parts = []
+    for lo in range(0, n, tiles.TILE):
+        width = min(tiles.TILE, n - lo)
+
+        def tile_of(arr):
+            chunk = _jax.lax.dynamic_slice_in_dim(arr, lo, width, axis=0)
+            if width < tiles.TILE:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.zeros((tiles.TILE - width, 4), dtype=jnp.uint32)])
+            return chunk
+
+        parts.append(_compose_tile(
+            tile_of(a1), tile_of(a2), tile_of(constraint_lde),
+            fj.constant(root), fj.constant(field.exp(root, lo)),
+            fj.constant(z), fj.constant(next_z),
+            fj.constant(s1), fj.constant(s2), fj.constant(c_at_z),
+            fj.constant(cc.t1_degree), fj.constant(cc.t2_degree),
+            fj.constant(cc.constraints),
+            fj.constant(incr_base), fj.constant(field.exp(incr_base, lo)),
+        )[:width])
+    composed = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
     deep_values = DeepValues(trace_state1, trace_state2)
     return composed, deep_values
+
+
+def polynom_eval_dev(poly_dev, x_int):
+    """Evaluate an (n, 4) device coefficient vector at a host int: tiled
+    partial sums accumulate on device, one transfer at the end."""
+    from ..ops import tiles
+
+    n = poly_dev.shape[0]
+    total = None
+    for lo in range(0, n, tiles.TILE):
+        width = min(tiles.TILE, n - lo)
+        chunk = poly_dev[None, lo : lo + width]
+        if width < tiles.TILE:
+            chunk = jnp.concatenate(
+                [chunk, jnp.zeros((1, tiles.TILE - width, 4), dtype=jnp.uint32)],
+                axis=1)
+        ps = tiles._ps_tile(fj.constant(x_int), fj.constant(pow(x_int, lo, M)))
+        part = _poly_eval_tile(chunk, ps)
+        total = part if total is None else fj.add(total, part)
+    return int(fj.to_ints(np.asarray(total))[0])

@@ -12,6 +12,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..math import field
 from ..math import field_jax as fj
 from ..config import (
     MAX_CONTEXT_DEPTH, MAX_LOOP_DEPTH, MAX_REGISTER_COUNT, MIN_EXTENSION_FACTOR,
@@ -123,6 +124,54 @@ class TraceTable:
                     [regs, jnp.zeros((padded_r - r_count, n, 4), dtype=jnp.uint32)])
             regs = jax.device_put(regs, NamedSharding(mesh, P("shard", None, None)))
 
+        import os
+        if mesh is None and os.environ.get("DISTAFF_TILED", "1") != "0":
+            polys, lde = self._extend_tiled(regs, n, domain)
+        else:
+            polys, lde = self._extend_vmapped(regs, n, domain)
+
+        # slice off mesh-padding registers so every consumer (row hashing,
+        # query gathers, composition weights) sees exactly the true trace
+        if polys.shape[0] != self._register_count:
+            polys = polys[: self._register_count]
+            lde = lde[: self._register_count]
+        self.polys_dev = polys
+        self.lde_dev = lde
+
+    def _extend_tiled(self, regs, n, domain):
+        """LDE through the fixed-tile NTTs (ops/tiles.py): registers run in
+        fixed-size groups so the transposes and the transform working set
+        stay bounded and every dispatch reuses one compiled kernel set,
+        whatever the trace geometry."""
+        import os
+        from ..ops import tiles
+
+        rchunk = int(os.environ.get("DISTAFF_LDE_RCHUNK", 4))
+        r_count = regs.shape[0]
+        root_n = field.get_root_of_unity(n)
+        root_d = field.get_root_of_unity(domain)
+        parts_p, parts_l = [], []
+        for lo in range(0, r_count, rchunk):
+            chunk = regs[lo : lo + rchunk]
+            pad = rchunk - chunk.shape[0]
+            if pad:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.zeros((pad, n, 4), dtype=jnp.uint32)])
+            x = chunk.transpose(1, 0, 2)                     # (n, RC, 4)
+            p = tiles.intt_batched(x, root_n)
+            padded = jnp.zeros((domain, rchunk, 4), dtype=jnp.uint32)
+            padded = padded.at[:n].set(p)
+            l = tiles.ntt_batched(padded, root_d)
+            parts_p.append(p.transpose(1, 0, 2))
+            parts_l.append(l.transpose(1, 0, 2))
+        cat = (lambda ps: ps[0][:r_count] if len(ps) == 1
+               else jnp.concatenate(ps)[:r_count])
+        return cat(parts_p), cat(parts_l)
+
+    def _extend_vmapped(self, regs, n, domain):
+        """Per-shape vmapped NTT path (kept for sharded meshes, where the
+        register axis carries the sharding)."""
+        import os
         intt_v = jax.vmap(lambda v: fj.intt(v))
         polys = intt_v(regs)
 
@@ -130,7 +179,6 @@ class TraceTable:
         # (measured: 27 lanes x 2^21 domain wanted 21.9 GB on a 16 GB chip);
         # chunk the register axis so the working set fits, padding the last
         # chunk so every dispatch reuses one compiled shape
-        import os
         r_count = polys.shape[0]                # incl. any mesh padding
         per_lane = domain * 16 * 26
         budget = int(os.environ.get("DISTAFF_NTT_BUDGET_BYTES", 6 << 30))
@@ -148,14 +196,7 @@ class TraceTable:
                 padded = padded.at[: chunk.shape[0], :n, :].set(chunk)
                 parts.append(ntt_v(padded)[: chunk.shape[0]])
             lde = jnp.concatenate(parts, axis=0)
-
-        # slice off mesh-padding registers so every consumer (row hashing,
-        # query gathers, composition weights) sees exactly the true trace
-        if polys.shape[0] != self._register_count:
-            polys = polys[: self._register_count]
-            lde = lde[: self._register_count]
-        self.polys_dev = polys
-        self.lde_dev = lde
+        return polys, lde
 
     def lde_rows_bytes(self):
         """Extended trace as (domain, R*16) uint8 rows for leaf hashing."""
@@ -174,10 +215,10 @@ class TraceTable:
             # the eventual query openings cross the (slow) host link.
             # DISTAFF_DEVICE_HASH=0 forces host hashing.
             from ..ops.blake3_jax import hash_trace_rows_dev
-            from ..crypto.merkle_dev import DeviceMerkleTree
+            from ..crypto.merkle_dev import make_device_tree
             leaves = hash_trace_rows_dev(self.lde_dev)
             if leaves is not None:
-                return DeviceMerkleTree(leaves)
+                return make_device_tree(leaves)
         rows = self.lde_rows_bytes()
         if hash_name == "blake3":
             leaves = blake3_batch(rows)

@@ -1,6 +1,17 @@
 import os
 import pathlib
 
+# Small fixed-tile sizes so unit-test-sized inputs exercise the multi-tile
+# loops and multi-level NTT recursion in ops/tiles.py (prod defaults are
+# 2^16 / 2^10 / 2^9; values are bit-identical regardless of tiling).
+os.environ.setdefault("DISTAFF_TILE", "256")
+os.environ.setdefault("DISTAFF_NTT_LEAF", "16")
+os.environ.setdefault("DISTAFF_NTT_BTILE", "8")
+os.environ.setdefault("DISTAFF_NTT_TGROUP", "4")
+os.environ.setdefault("DISTAFF_NTT_TBATCH", "2")
+os.environ.setdefault("DISTAFF_MERKLE_SUBTREE", "64")
+os.environ.setdefault("DISTAFF_MERKLE_SGROUP", "2")
+
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
 # exercised without TPU hardware; the real-chip path is covered by bench.py.
 # NOTE: the axon TPU plugin in this environment ignores JAX_PLATFORMS, so we

@@ -53,3 +53,42 @@ def test_batch_proof_matches_host(indexes):
     assert p_dev.nodes == p_host.nodes
     assert p_dev.depth == p_host.depth
     assert MerkleTree.verify_batch(dev.root(), indexes, p_dev, "blake3")
+
+
+# tiled (subtree + host cap) trees --------------------------------------------------------------
+
+def _tiled_tree(leaves_u8):
+    from distaff_tpu.crypto.merkle_dev import TiledDeviceMerkleTree
+    leaves_u32 = jnp.asarray(
+        np.ascontiguousarray(leaves_u8).view(np.uint32).reshape(leaves_u8.shape[0], 8))
+    return TiledDeviceMerkleTree(leaves_u32)
+
+
+@pytest.mark.parametrize("n", [128, 512])
+def test_tiled_root_matches_host(n):
+    from distaff_tpu.crypto import merkle_dev
+    assert n > merkle_dev.SUBTREE, "conftest must set a small DISTAFF_MERKLE_SUBTREE"
+    leaves = _random_leaves(n, seed=n)
+    assert _tiled_tree(leaves).root() == MerkleTree(leaves, "blake3").root()
+
+
+@pytest.mark.parametrize("indexes", [[0], [3, 200, 201], [5, 64, 65, 127, 300, 511]])
+def test_tiled_batch_proof_matches_host(indexes):
+    n = 512
+    leaves = _random_leaves(n, seed=11)
+    host = MerkleTree(leaves, "blake3")
+    dev = _tiled_tree(leaves)
+    hp = host.prove_batch(indexes)
+    dp = dev.prove_batch(indexes)
+    assert dp == hp
+    assert MerkleTree.verify_batch(dev.root(), indexes, dp, "blake3")
+
+
+def test_tiled_single_proof_matches_host():
+    n = 256
+    leaves = _random_leaves(n, seed=13)
+    host = MerkleTree(leaves, "blake3")
+    dev = _tiled_tree(leaves)
+    for idx in (0, 1, 100, 255):
+        assert dev.prove(idx) == host.prove(idx)
+        assert MerkleTree.verify(dev.root(), idx, dev.prove(idx), "blake3")
