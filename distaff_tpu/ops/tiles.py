@@ -247,29 +247,37 @@ def _twiddle_tile(block, bases, prefix, n2):
 
 def _apply_twiddles(bv, root_int, n1, n2, b):
     """bv: (n2, n1, B, 4) with bv[j2, k1] *= w^(k1*j2); both the k1 and
-    batch axes run in fixed-size tiles.  root_int = w, the size-(n1*n2)
-    root."""
+    batch axes run in bounded-size tiles.  root_int = w, the size-(n1*n2)
+    root.
+
+    The tile geometry adapts to the recursion level while keeping the tile
+    element count constant: rg = min(_RGROUP_T, n1) k1-rows per tile (n1 is
+    a power of two, so rg always divides it - no row padding) and
+    btwid = _RGROUP_T*_BTWID/rg batch columns.  rg ranges over a handful of
+    powers of two, so the kernel still compiles a bounded number of times
+    ever; padding n1 up to _RGROUP_T instead blew HBM at deep recursion
+    levels (n1=2 with a 4096-wide batch wanted a 32x row expansion)."""
     w = int(root_int)
+    rg = min(_RGROUP_T, n1)
+    btwid = max(1, (_RGROUP_T * _BTWID) // rg)
     bases = fj.from_ints(
-        np.array([pow(w, r, M) for r in range(_RGROUP_T)], dtype=object))
+        np.array([pow(w, r, M) for r in range(rg)], dtype=object))
     x = bv.transpose(1, 0, 2, 3)  # (n1, n2, B, 4)
-    x, _ = _pad_rows(x, _RGROUP_T)
-    rem = (-b) % _BTWID
+    rem = (-b) % btwid
     if rem:
         x = jnp.concatenate(
             [x, jnp.zeros(x.shape[:2] + (rem, 4), dtype=jnp.uint32)], axis=2)
     row_parts = []
-    for lo in range(0, x.shape[0], _RGROUP_T):
+    for lo in range(0, n1, rg):
         prefix = fj.constant(pow(w, lo, M))
         cols = [
-            _twiddle_tile(x[lo : lo + _RGROUP_T, :, c : c + _BTWID],
-                          bases, prefix, n2)
-            for c in range(0, x.shape[2], _BTWID)
+            _twiddle_tile(x[lo : lo + rg, :, c : c + btwid], bases, prefix, n2)
+            for c in range(0, x.shape[2], btwid)
         ]
         row_parts.append(
             cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=2))
     out = row_parts[0] if len(row_parts) == 1 else jnp.concatenate(row_parts)
-    return out[:n1, :, :b].transpose(1, 0, 2, 3)
+    return out[:, :, :b].transpose(1, 0, 2, 3)
 
 
 def ntt_batched(values, root_int):

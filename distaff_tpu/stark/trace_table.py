@@ -146,7 +146,16 @@ class TraceTable:
         import os
         from ..ops import tiles
 
-        rchunk = int(os.environ.get("DISTAFF_LDE_RCHUNK", 4))
+        rchunk = os.environ.get("DISTAFF_LDE_RCHUNK")
+        if rchunk is not None:
+            rchunk = int(rchunk)
+        else:
+            # biggest power-of-two group whose transform temporaries (~8x
+            # the lane bytes for transposes + tile buffers) fit the budget;
+            # power-of-two sizes keep the compiled-shape set bounded
+            budget = int(os.environ.get("DISTAFF_NTT_BUDGET_BYTES", 6 << 30))
+            fit = max(4, min(16, budget // (domain * 16 * 8)))
+            rchunk = 1 << (fit.bit_length() - 1)
         r_count = regs.shape[0]
         root_n = field.get_root_of_unity(n)
         root_d = field.get_root_of_unity(domain)
