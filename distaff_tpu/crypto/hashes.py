@@ -91,6 +91,9 @@ def gmimc(values: bytes) -> bytes:
 
 
 def blake3(values: bytes) -> bytes:
+    from .. import native
+    if native.available():
+        return native.blake3_single(values)
     return _blake3_raw(values)
 
 

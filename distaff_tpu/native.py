@@ -32,6 +32,8 @@ if os.environ.get("DISTAFF_NATIVE", "1") != "0" and os.path.exists(_LIB_PATH):
         _lib.dt_free.argtypes = [ctypes.c_void_p]
         _lib.dt_blake3_batch.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_char_p]
+        _lib.dt_blake3_single.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p]
         _lib.dt_merkle_nodes.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p]
         _lib.dt_sponge_rounds.argtypes = [
@@ -156,6 +158,14 @@ def sponge_rounds(state, op_codes, op_values, step_offset):
     _lib.dt_sponge_rounds(buf, codes, vals, step_offset, n)
     raw = buf.raw
     return [int.from_bytes(raw[i * 16 : (i + 1) * 16], "little") for i in range(4)]
+
+
+def blake3_single(data: bytes) -> bytes:
+    """Native one-shot BLAKE3 (any length); ~50x the pure-Python hash."""
+    assert _lib is not None
+    out = ctypes.create_string_buffer(32)
+    _lib.dt_blake3_single(data, len(data), out)
+    return out.raw
 
 
 def blake3_batch(data: np.ndarray) -> np.ndarray:

@@ -212,19 +212,27 @@ def _leaf_ntt_tile(values, tw, n_leaf):
 
 def _leaf_ntt(values, root_int):
     """(n, B, 4) -> natural-order NTT along axis 0 for n <= LEAF, with the
-    batch axis tiled to BTILE columns (padded; extra columns transform to
-    garbage and are sliced off)."""
+    batch axis tiled (padded; extra columns transform to garbage and are
+    sliced off).
+
+    The batch tile scales inversely with the transform size so the tile
+    element count - and the dispatch count - stays constant: the deepest
+    recursion level has tiny transforms (n as small as 2) over a batch as
+    large as the whole domain, and a fixed BTILE there issued tens of
+    thousands of dispatches (measured 10x steady-state regression at 2^16
+    traces).  One shape per leaf size keeps compiles bounded."""
     n, b = values.shape[0], values.shape[1]
     if n == 1:
         return values
+    btile = BTILE * max(LEAF // n, 1)
     tw = power_series(root_int, n // 2)
-    rem = (-b) % BTILE
+    rem = (-b) % btile
     if rem:
         values = jnp.concatenate(
             [values, jnp.zeros((n, rem, 4), dtype=jnp.uint32)], axis=1)
     parts = [
-        _leaf_ntt_tile(values[:, lo : lo + BTILE], tw, n)
-        for lo in range(0, values.shape[1], BTILE)
+        _leaf_ntt_tile(values[:, lo : lo + btile], tw, n)
+        for lo in range(0, values.shape[1], btile)
     ]
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
     return out[:, :b]
