@@ -50,12 +50,12 @@ _done = threading.Event()
 def _record(log2_trace, elapsed, warm):
     global _best
     with _lock:
-        baseline = BASELINES[log2_trace]
+        baseline = BASELINES.get(log2_trace)
         _best = {
             "metric": f"fibonacci_2^{log2_trace}_step_trace_proof_gen_wall_time",
             "value": round(elapsed, 3),
             "unit": "seconds",
-            "vs_baseline": round(baseline / elapsed, 4),
+            "vs_baseline": round(baseline / elapsed, 4) if baseline else 0,
         }
     print(f"# 2^{log2_trace}: {elapsed:.2f}s steady (warm-up incl. compile "
           f"{warm:.1f}s); baseline {baseline}s", file=sys.stderr)
@@ -107,6 +107,16 @@ def main():
     platform = jax.devices()[0].platform
     on_cpu = platform == "cpu"
     print(f"# devices: {jax.devices()} (platform {platform})", file=sys.stderr)
+
+    if not on_cpu:
+        # Kick off device bring-up IMMEDIATELY and asynchronously.  On the
+        # tunneled TPU the first real device use triggers a one-time grant/
+        # bring-up measured at 100-370 s that proceeds in the background from
+        # the first enqueued op - everything host-side (imports, VM trace
+        # generation, kernel compiles) overlaps with it, and the pipeline's
+        # first device-to-host sync absorbs whatever remains.
+        import numpy as _np
+        jax.jit(lambda v: v + 1)(jax.device_put(_np.arange(8, dtype=_np.uint32)))
 
     if explicit is not None:
         sizes = [explicit]

@@ -206,15 +206,23 @@ class TiledDeviceMerkleTree(DeviceMerkleTree):
         n_sub = n // SUBTREE
         grouped = leaves_u32.reshape(n_sub, SUBTREE, 8)
 
-        parts = []
-        for lo in range(0, n_sub, _SGROUP):
-            chunk = grouped[lo : lo + _SGROUP]
-            pad = _SGROUP - chunk.shape[0]
-            if pad:
-                chunk = jnp.concatenate(
-                    [chunk, jnp.zeros((pad, SUBTREE, 8), dtype=jnp.uint32)])
-            parts.append(_build_subtree_nodes(chunk))
-        sub_nodes = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        # multi-chip: the independent subtree builds shard across the mesh
+        from ..parallel.mesh import configured_mesh
+        mesh = configured_mesh()
+        sub_nodes = None
+        if mesh is not None:
+            from ..parallel.mesh_stages import subtree_nodes_sharded
+            sub_nodes = subtree_nodes_sharded(grouped, mesh)
+        if sub_nodes is None:
+            parts = []
+            for lo in range(0, n_sub, _SGROUP):
+                chunk = grouped[lo : lo + _SGROUP]
+                pad = _SGROUP - chunk.shape[0]
+                if pad:
+                    chunk = jnp.concatenate(
+                        [chunk, jnp.zeros((pad, SUBTREE, 8), dtype=jnp.uint32)])
+                parts.append(_build_subtree_nodes(chunk))
+            sub_nodes = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
         # (n_sub, SUBTREE, 8), local flat layout per subtree
         self.sub_nodes = sub_nodes[:n_sub]
 
@@ -224,7 +232,10 @@ class TiledDeviceMerkleTree(DeviceMerkleTree):
         # roots; cap flat index i == global flat index i (levels above the
         # subtree roots)
         self.cap_levels = n_sub.bit_length() - 1
-        self.cap_nodes = build_merkle_nodes(roots, "blake3")  # (2*n_sub, 32) u8
+        # (n_sub, 32) u8: internal nodes only, flat indexes [1, n_sub); nodes
+        # at global flat index >= n_sub are subtree-root-level and live in the
+        # device subtrees, never in this cap array
+        self.cap_nodes = build_merkle_nodes(roots, "blake3")
         self._root = self.cap_nodes[1].tobytes()
 
     def _gather_nodes(self, node_indexes):

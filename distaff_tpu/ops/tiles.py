@@ -200,19 +200,23 @@ def weighted_register_sum(lde, weights):
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def _leaf_ntt_tile(values, tw, n_leaf):
-    """Natural-order NTT of size n_leaf along axis 0, batch axis 1.
+    """Natural-order NTT of size n_leaf along axis 1, batch axis 0
+    (batch-MAJOR: the limb dim stays minor and the big batch dim major, the
+    only 3D orientation whose standalone reshape/transpose programs get
+    compact TPU layouts - a (n, 4, 4)-style tensor at a program boundary
+    forces a copy into a T(8,128)-padded layout, measured 32x HBM at 2^18).
 
-    values: (n_leaf, BTILE, 4); tw: (n_leaf/2, 4) power series of the
+    values: (BTILE, n_leaf, 4); tw: (n_leaf/2, 4) power series of the
     size-n_leaf root.  n_leaf is drawn from the tiny set of powers of two
     <= LEAF, so these kernels compile a bounded number of times ever."""
-    out = fj._ntt_stages_batched(values, tw)
-    rev = jnp.asarray(fj._bitrev_indices(n_leaf))
-    return out[rev]
+    out = fj._ntt_stages_bm(values, tw)
+    rev = fj._bitrev_indices(n_leaf)
+    return out[:, rev]
 
 
 def _leaf_ntt(values, root_int):
-    """(n, B, 4) -> natural-order NTT along axis 0 for n <= LEAF, with the
-    batch axis tiled (padded; extra columns transform to garbage and are
+    """(B, n, 4) -> natural-order NTT along axis 1 for n <= LEAF, with the
+    batch axis tiled (padded; extra rows transform to garbage and are
     sliced off).
 
     The batch tile scales inversely with the transform size so the tile
@@ -221,7 +225,7 @@ def _leaf_ntt(values, root_int):
     large as the whole domain, and a fixed BTILE there issued tens of
     thousands of dispatches (measured 10x steady-state regression at 2^16
     traces).  One shape per leaf size keeps compiles bounded."""
-    n, b = values.shape[0], values.shape[1]
+    b, n = values.shape[0], values.shape[1]
     if n == 1:
         return values
     btile = BTILE * max(LEAF // n, 1)
@@ -229,39 +233,43 @@ def _leaf_ntt(values, root_int):
     rem = (-b) % btile
     if rem:
         values = jnp.concatenate(
-            [values, jnp.zeros((n, rem, 4), dtype=jnp.uint32)], axis=1)
+            [values, jnp.zeros((rem, n, 4), dtype=jnp.uint32)], axis=0)
     parts = [
-        _leaf_ntt_tile(values[:, lo : lo + btile], tw, n)
-        for lo in range(0, values.shape[1], btile)
+        _leaf_ntt_tile(values[lo : lo + btile], tw, n)
+        for lo in range(0, values.shape[0], btile)
     ]
-    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
-    return out[:, :b]
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    return out[:b]
 
 
 # twiddle tile geometry: (RGROUP_T k1-rows, LEAF j2-columns, BTWID batch)
 _RGROUP_T = int(os.environ.get("DISTAFF_NTT_TGROUP", 64))
 _BTWID = int(os.environ.get("DISTAFF_NTT_TBATCH", 8))
+# _apply_twiddles relies on rg = min(_RGROUP_T, n1) dividing n1 (a power of
+# two), and on btwid = _RGROUP_T*_BTWID/rg being integral
+assert _RGROUP_T & (_RGROUP_T - 1) == 0 and _RGROUP_T > 0
+assert _BTWID & (_BTWID - 1) == 0 and _BTWID > 0
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
 def _twiddle_tile(block, bases, prefix, n2):
-    """block: (RGROUP_T, n2, BTWID, 4) rows k1 in a group; multiply row r by
+    """block: (BTWID, RGROUP_T, n2, 4) k1-rows in a group; multiply row r by
     the power series of (prefix * bases[r]) over j2 - i.e. by
     w^((lo + r) * j2) with bases[r] = w^r, prefix = w^lo."""
     rows = jax.vmap(lambda bx: fj.power_series_dev(bx, n2))(
         fj.mul(bases, jnp.broadcast_to(prefix, bases.shape)))  # (RG, n2, 4)
-    return fj.mul(block, rows[:, :, None, :])
+    return fj.mul(block, rows[None])
 
 
 def _apply_twiddles(bv, root_int, n1, n2, b):
-    """bv: (n2, n1, B, 4) with bv[j2, k1] *= w^(k1*j2); both the k1 and
+    """bv: (B, n1, n2, 4) with bv[b, k1, j2] *= w^(k1*j2); both the k1 and
     batch axes run in bounded-size tiles.  root_int = w, the size-(n1*n2)
     root.
 
     The tile geometry adapts to the recursion level while keeping the tile
     element count constant: rg = min(_RGROUP_T, n1) k1-rows per tile (n1 is
     a power of two, so rg always divides it - no row padding) and
-    btwid = _RGROUP_T*_BTWID/rg batch columns.  rg ranges over a handful of
+    btwid = _RGROUP_T*_BTWID/rg batch rows.  rg ranges over a handful of
     powers of two, so the kernel still compiles a bounded number of times
     ever; padding n1 up to _RGROUP_T instead blew HBM at deep recursion
     levels (n1=2 with a 4096-wide batch wanted a 32x row expansion)."""
@@ -270,34 +278,41 @@ def _apply_twiddles(bv, root_int, n1, n2, b):
     btwid = max(1, (_RGROUP_T * _BTWID) // rg)
     bases = fj.from_ints(
         np.array([pow(w, r, M) for r in range(rg)], dtype=object))
-    x = bv.transpose(1, 0, 2, 3)  # (n1, n2, B, 4)
+    x = bv
     rem = (-b) % btwid
     if rem:
         x = jnp.concatenate(
-            [x, jnp.zeros(x.shape[:2] + (rem, 4), dtype=jnp.uint32)], axis=2)
+            [x, jnp.zeros((rem,) + x.shape[1:], dtype=jnp.uint32)], axis=0)
     row_parts = []
     for lo in range(0, n1, rg):
         prefix = fj.constant(pow(w, lo, M))
         cols = [
-            _twiddle_tile(x[lo : lo + rg, :, c : c + btwid], bases, prefix, n2)
-            for c in range(0, x.shape[2], btwid)
+            _twiddle_tile(x[c : c + btwid, lo : lo + rg], bases, prefix, n2)
+            for c in range(0, x.shape[0], btwid)
         ]
         row_parts.append(
-            cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=2))
-    out = row_parts[0] if len(row_parts) == 1 else jnp.concatenate(row_parts)
-    return out[:, :, :b].transpose(1, 0, 2, 3)
+            cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=0))
+    out = (row_parts[0] if len(row_parts) == 1
+           else jnp.concatenate(row_parts, axis=1))
+    return out[:b]
 
 
 def ntt_batched(values, root_int):
-    """Natural-order NTT of size n along axis 0 of (n, B, 4), batched over
-    axis 1, built entirely from fixed-shape device kernels.
+    """Natural-order NTT of size n along axis 1 of (B, n, 4), batched over
+    the MAJOR axis 0, built entirely from fixed-shape device kernels.
 
     Bailey four-step with a fixed leaf size (reference src/math/fft.rs is
     the radix-2 recursion this replaces): split n = n1 * n2 (n2 = LEAF),
     row transforms of size n2, twiddle by w^(k1*j2), then recurse on the
     size-n1 column transforms with the batch folded in.
-    """
-    n, b = values.shape[0], values.shape[1]
+
+    The batch-MAJOR orientation is load-bearing for HBM: every inter-kernel
+    reshape here regroups major axes (or transposes two large axes) with
+    the limb dim pinned minor, which XLA lowers with compact layouts.  The
+    former batch-minor layout created (n, smallB, 4) boundary tensors whose
+    standalone reshape programs forced copies into T(8,128)-padded layouts
+    (measured 32x HBM expansion -> OOM at 2^18 traces)."""
+    b, n = values.shape[0], values.shape[1]
     root_int = int(root_int)
     if n <= LEAF:
         return _leaf_ntt(values, root_int)
@@ -305,15 +320,18 @@ def ntt_batched(values, root_int):
     n2 = LEAF
     n1 = n // n2
 
-    # A2[k2, k1*B + b] = a[k1 + n1*k2, b]
-    a2 = values.reshape(n2, n1 * b, 4)
-    bv = _leaf_ntt(a2, pow(root_int, n1, M))          # NTT over k2
-    bv = bv.reshape(n2, n1, b, 4)
+    # split k = k2*n1 + k1: a2[b, k2, k1] = a[b, k2*n1 + k1]
+    a2 = values.reshape(b, n2, n1, 4)
+    t = a2.transpose(0, 2, 1, 3)                      # [b, k1, k2]
+    bv = _leaf_ntt(t.reshape(b * n1, n2, 4),
+                   pow(root_int, n1, M))              # NTT over k2 -> j2
+    bv = bv.reshape(b, n1, n2, 4)                     # [b, k1, j2]
     bv = _apply_twiddles(bv, root_int, n1, n2, b)     # *= w^(k1*j2)
 
-    cin = bv.transpose(1, 0, 2, 3).reshape(n1, n2 * b, 4)
-    c = ntt_batched(cin, pow(root_int, n2, M))        # size-n1 transforms
-    return c.reshape(n, b, 4)
+    cin = bv.transpose(0, 2, 1, 3).reshape(b * n2, n1, 4)  # [b, j2, k1]
+    c = ntt_batched(cin, pow(root_int, n2, M))        # size-n1 -> [b, j2, j1]
+    return (c.reshape(b, n2, n1, 4).transpose(0, 2, 1, 3)  # [b, j1, j2]
+            .reshape(b, n, 4))                        # j = j1*n2 + j2
 
 
 def ntt(values, root_int=None):
@@ -324,13 +342,13 @@ def ntt(values, root_int=None):
         return values
     if root_int is None:
         root_int = hostfield.get_root_of_unity(n)
-    return ntt_batched(values[:, None, :], int(root_int))[:, 0, :]
+    return ntt_batched(values[None], int(root_int))[0]
 
 
 def intt_batched(values, root_int=None):
-    """Inverse NTT along axis 0 of (n, B, 4): forward transform with the
+    """Inverse NTT along axis 1 of (B, n, 4): forward transform with the
     inverse root, scaled by 1/n."""
-    n = values.shape[0]
+    n = values.shape[1]
     if n == 1:
         return values
     if root_int is None:
@@ -346,4 +364,4 @@ def intt(values, root_int=None):
     n = values.shape[0]
     if n == 1:
         return values
-    return intt_batched(values[:, None, :], root_int)[:, 0, :]
+    return intt_batched(values[None], root_int)[0]

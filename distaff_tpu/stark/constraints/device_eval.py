@@ -230,7 +230,10 @@ def evaluate_transition_device(evaluator, trace, debug_check=True):
     import os
 
     stride = trace.extension_factor // MAX_CONSTRAINT_DEGREE
-    lde = trace.lde_dev[:, ::stride, :]
+    if trace.streaming:
+        lde = trace.lde_stride_dev          # built by the stream-commit pass
+    else:
+        lde = trace.lde_dev[:, ::stride, :]
     n_ev = lde.shape[1]
 
     dec_ark, dec_masks, stk_ark, xp_bases_dev = _device_constants(evaluator)
@@ -250,6 +253,9 @@ def evaluate_transition_device(evaluator, trace, debug_check=True):
         # compiled kernel as large ones (the ARK/mask cycle is 128 rows and
         # n_ev is a multiple of it, so tiling keeps the periodic constants
         # aligned); padded rows are sliced off below
+        assert chunk % n_ev == 0, (
+            f"DISTAFF_AIR_CHUNK_ROWS={chunk} must be a multiple of the "
+            f"evaluation domain ({n_ev}) when padding small traces")
         reps = chunk // n_ev
         lde = jnp.tile(lde, (1, reps, 1))
         ext = jnp.tile(ext, (1, reps, 1))

@@ -128,12 +128,23 @@ def test_jax_col_int_coercion_and_mod():
     assert list(fj.to_ints(np.asarray(r.arr))) == [(7 * v) % M for v in vals]
 
 
-@pytest.mark.skipif(
-    "DISTAFF_TEST_DEVICE_AIR" not in __import__("os").environ,
-    reason="device AIR kernel compile is slow on CPU XLA; set "
-           "DISTAFF_TEST_DEVICE_AIR=1 (ideally on TPU) to run")
 @pytest.mark.parametrize("src,inputs", PROGRAMS[:2])
 def test_device_transition_matches_host(src, inputs):
+    """The device AIR path (device_eval._transition_kernel - the kernel that
+    actually runs on TPU) must produce the exact combined transition column
+    of the host evaluator.
+
+    By default the kernel body runs op-by-op under jax.disable_jit(): the
+    identical math on the identical arrays, without the fused-kernel XLA
+    compile, which on CPU XLA is pathologically slow (>10 min even with
+    backend optimizations off).  Set DISTAFF_TEST_DEVICE_AIR=1 (ideally on
+    TPU, where bench.py also exercises it end-to-end) to run the real
+    compiled kernel instead."""
+    import contextlib
+    import os
+
+    import jax
+
     from distaff_tpu.math import field_jax as fj
     from distaff_tpu.stark.constraints.device_eval import evaluate_transition_device
 
@@ -145,7 +156,10 @@ def test_device_transition_matches_host(src, inputs):
     evaluator = Evaluator.from_trace(
         trace, b"\x11" * 32, inputs.get_public_inputs(), outputs)
 
-    t_dev = np.asarray(evaluate_transition_device(evaluator, trace))
+    compiled = os.environ.get("DISTAFF_TEST_DEVICE_AIR")
+    ctx = contextlib.nullcontext() if compiled else jax.disable_jit()
+    with ctx:
+        t_dev = np.asarray(evaluate_transition_device(evaluator, trace))
 
     import os
     os.environ["DISTAFF_DEVICE_AIR"] = "0"
