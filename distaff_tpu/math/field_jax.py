@@ -28,7 +28,12 @@ M = hostfield.M
 G = hostfield.G
 
 _U32 = jnp.uint32
-_MASK16 = jnp.uint32(0xFFFF)
+# numpy (NOT jnp): a module-level jnp scalar is a device buffer created at
+# import; closures capture it and every kernel LOWERING then fetches it back
+# device-to-host to embed as an MLIR constant - on the tunneled TPU that
+# synchronous fetch serializes against all queued work and cost minutes per
+# cold proof (measured round 3).  A numpy scalar embeds directly.
+_MASK16 = np.uint32(0xFFFF)
 
 # M as 8 halfwords (little-endian 16-bit chunks)
 M_HALFWORDS = tuple((M >> (16 * k)) & 0xFFFF for k in range(8))
@@ -571,5 +576,28 @@ def _ntt_stages_batched(values, tw):
         even = add(a, c)
         odd = mul(sub(a, c), jnp.broadcast_to(w, a.shape))
         return jnp.stack([even, odd], axis=1).reshape(n, b, 4)
+
+    return jax.lax.fori_loop(0, levels, body, values)
+
+
+@jax.jit
+def _ntt_stages_bm(values, tw):
+    """Pease NTT stages along axis 1 of a batch-MAJOR (B, n, 4) array.
+
+    Same butterfly network as _ntt_stages_batched with the batch axis moved
+    to the major position (see ops.tiles.ntt_batched for why batch-major
+    matters on TPU: minor-position small batch dims force padded layouts)."""
+    b = values.shape[0]
+    n = values.shape[1]
+    levels = n.bit_length() - 1
+    W = _stage_twiddles(tw)
+
+    def body(s, x):
+        a = x[:, : n // 2]
+        c = x[:, n // 2 :]
+        w = jax.lax.dynamic_index_in_dim(W, s, axis=0, keepdims=False)[None]
+        even = add(a, c)
+        odd = mul(sub(a, c), jnp.broadcast_to(w, a.shape))
+        return jnp.stack([even, odd], axis=2).reshape(b, n, 4)
 
     return jax.lax.fori_loop(0, levels, body, values)

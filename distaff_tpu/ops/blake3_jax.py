@@ -107,6 +107,43 @@ def hash_rows_u32(rows_u32, byte_len):
     return cv.T  # (N, 8)
 
 
+# ------------------------------------------------------------------------------------------------
+# incremental row hashing: absorb the trace row bytes 64-byte block by
+# 64-byte block (4 registers each), so the full (R, D, 4) LDE never has to
+# be resident - the streaming-LDE path at 2^20 domains feeds register
+# chunks straight from the NTT into the hash state
+# ------------------------------------------------------------------------------------------------
+
+def absorb_begin(n):
+    """Fresh per-row BLAKE3 chaining values: (8, N) uint32."""
+    return jnp.stack([jnp.full((n,), iv, dtype=jnp.uint32) for iv in _IV])
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def absorb_block(cv, lde_chunk4, first, last, byte_len):
+    """One 64-byte block per row: 4 registers' limbs for every domain row.
+
+    cv: (8, D) chaining values; lde_chunk4: (4, D, 4) uint32 limbs (register
+    r's u128 LE words are message words 4r..4r+3 - the transpose+reshape to
+    (16, D) message words happens inside this jit so no (D, 4, 4)-shaped
+    array ever hits a program boundary).  byte_len is the FULL row length;
+    the final block's len is its remainder (zero-padded registers)."""
+    d = lde_chunk4.shape[1]
+    m_stack = jnp.transpose(lde_chunk4, (1, 0, 2)).reshape(d, 16).T  # (16, D)
+    flags = 0
+    if first:
+        flags |= CHUNK_START
+    if last:
+        flags |= CHUNK_END | ROOT
+    blen = byte_len - 64 * ((byte_len - 1) // 64) if last else 64
+    return _compress(cv, m_stack, blen, flags)
+
+
+def absorb_finish(cv):
+    """(8, D) chaining values -> (D, 8) uint32 digests."""
+    return cv.T
+
+
 def hash_trace_rows_dev(lde_dev):
     """(R, D, 4) limb LDE -> (D, 8) uint32 leaf digests, kept on device.
 

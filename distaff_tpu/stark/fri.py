@@ -73,12 +73,21 @@ def reduce(evaluations_dev, domain_root, options):
     tree_results = []
     value_results = []
 
+    # multi-chip: shard each layer's independent row folds over the mesh
+    from ..parallel.mesh import configured_mesh
+    mesh = configured_mesh()
+
     p_values = fri_jax.transpose_quartic(evaluations_dev, 1)
     p_tree = _build_layer_tree(p_values, hash_name)
 
     while p_values.shape[0] * 4 > MAX_REMAINDER_LENGTH:
         special_x = rand.prng(p_tree.root(), field.M)
-        column = tiles.fold_rows(p_values, x0, fj.constant(special_x))
+        if mesh is not None:
+            from ..parallel import mesh_stages
+            column = mesh_stages.fold_sharded(
+                p_values, x0, fj.constant(special_x), mesh)
+        else:
+            column = tiles.fold_rows(p_values, x0, fj.constant(special_x))
         x0 = x0[::4]
 
         c_values = fri_jax.transpose_quartic(column, 1)

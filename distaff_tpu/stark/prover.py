@@ -136,6 +136,21 @@ def _evaluate_constraints_columnar(evaluator, trace, debug_check=True):
     stride = trace.extension_factor // MAX_CONSTRAINT_DEGREE
     n_ev = evaluator.domain_size
 
+    # multi-chip: row-sharded boundary + transition sweeps over the mesh.
+    # The transition kernel shares its AIR trace with the single-device path
+    # (parallel/mesh_stages.py); mesh selection implies per-geometry compiles,
+    # the normal trade for production multi-chip shapes.
+    from ..parallel.mesh import configured_mesh
+    mesh = configured_mesh()
+    if mesh is not None and n_ev % mesh.devices.size == 0:
+        from ..parallel import mesh_stages
+
+        i_evals, f_evals = mesh_stages.boundaries_sharded(
+            evaluator, trace, stride, mesh)
+        t_evals = mesh_stages.transition_sharded(
+            evaluator, trace, mesh, debug_check)
+        return i_evals, f_evals, t_evals
+
     # default path for large domains: the whole step stays on device -
     # transition constraints as one fused XLA kernel over the domain,
     # boundary columns as weighted register sums; nothing crosses the host
@@ -147,9 +162,9 @@ def _evaluate_constraints_columnar(evaluator, trace, debug_check=True):
     # "auto": device kernel on real accelerators for large domains.  CPU XLA
     # compiles this kernel pathologically slowly (>10 min), so auto never
     # picks it there; "1" forces it regardless of backend.
-    on_accelerator = any(
-        d.platform != "cpu" for d in trace.lde_dev.devices())
-    use_device_air = air_mode == "1" or (
+    lde_any = trace.lde_dev if trace.lde_dev is not None else trace.polys_dev
+    on_accelerator = any(d.platform != "cpu" for d in lde_any.devices())
+    use_device_air = air_mode == "1" or trace.streaming or (
         air_mode == "auto" and on_accelerator
         and (n_ev >= min_domain or min_domain == 0))
     if use_device_air:
@@ -232,7 +247,10 @@ def _evaluate_boundaries_device(evaluator, trace, stride):
     from ..ops import tiles
 
     n_ev = evaluator.domain_size
-    lde = trace.lde_dev[:, ::stride, :]                      # (R, n_ev, 4)
+    if trace.streaming:
+        lde = trace.lde_stride_dev                           # (R, n_ev, 4)
+    else:
+        lde = trace.lde_dev[:, ::stride, :]                  # (R, n_ev, 4)
     r_ev = field.get_root_of_unity(n_ev)
     xp = tiles.power_series(field.exp(r_ev, evaluator.b_degree_adj), n_ev)
 
@@ -365,9 +383,9 @@ def _combine_constraint_polys(evaluator, i_evals, f_evals, t_evals, trace_length
 
     from ..ops import tiles
     stacked = jnp.stack(
-        [_to_limbs(i_evals), _to_limbs(f_evals), _to_limbs(t_evals)], axis=1)
+        [_to_limbs(i_evals), _to_limbs(f_evals), _to_limbs(t_evals)], axis=0)
     polys3 = tiles.intt_batched(stacked, ev_root)            # one batched iNTT
-    i_poly, f_poly, t_poly = polys3[:, 0], polys3[:, 1], polys3[:, 2]
+    i_poly, f_poly, t_poly = polys3[0], polys3[1], polys3[2]
 
     x_last = evaluator.get_x_at_last_step()
     i_div = _syn_div_dev(i_poly, 1)
@@ -491,13 +509,47 @@ def _build_composition_evaluations(trace, constraint_poly, constraint_lde, z, cc
     g = field.get_root_of_unity(trace_length)
     next_z = field.mul(z, g)
 
+    # multi-chip: row-sharded full-domain composition over the mesh
+    from ..parallel.mesh import configured_mesh
+    mesh = configured_mesh()
+    if mesh is not None and n % mesh.devices.size == 0:
+        from ..parallel import mesh_stages
+
+        r_count = trace.register_count()
+        trace_state1 = _poly_eval_rows(trace.polys_dev, z)
+        trace_state2 = _poly_eval_rows(trace.polys_dev, next_z)
+        s1 = 0
+        s2 = 0
+        for i in range(r_count):
+            s1 = (s1 + trace_state1[i] * cc.trace1[i]) % M
+            s2 = (s2 + trace_state2[i] * cc.trace2[i]) % M
+        c_at_z = polynom_eval_dev(constraint_poly, z)
+        composed = mesh_stages.compose_sharded(
+            trace, constraint_lde, z, cc, s1, s2, c_at_z, mesh)
+        return composed, DeepValues(trace_state1, trace_state2)
+
     # weighted register sums A1(x) = sum_i cc1_i T_i(x), A2 likewise
-    lde = trace.lde_dev  # (R, D, 4)
     r_count = trace.register_count()
     w1 = fj.from_ints(np.array(cc.trace1[:r_count], dtype=object))  # (R, 4)
     w2 = fj.from_ints(np.array(cc.trace2[:r_count], dtype=object))
-    a1 = tiles.weighted_register_sum(lde, w1)
-    a2 = tiles.weighted_register_sum(lde, w2)
+    if trace.streaming:
+        # weighted sums commute with the NTT: combine in coefficient space
+        # (R x N muls) and extend the single combined column - the full
+        # (R, D, 4) LDE is never materialized
+        root_d = field.get_root_of_unity(n)
+
+        def extend_wsum(w):
+            combo = tiles.weighted_register_sum(trace.polys_dev, w)  # (N, 4)
+            padded = jnp.zeros((n, 4), dtype=jnp.uint32)
+            padded = padded.at[: combo.shape[0]].set(combo)
+            return tiles.ntt(padded, root_d)
+
+        a1 = extend_wsum(w1)
+        a2 = extend_wsum(w2)
+    else:
+        lde = trace.lde_dev  # (R, D, 4)
+        a1 = tiles.weighted_register_sum(lde, w1)
+        a2 = tiles.weighted_register_sum(lde, w2)
 
     # T_i(z), T_i(zg) and the scalar DEEP terms - tiny host big-int math on
     # tiled device poly evaluations (these are the proof's DeepValues, so

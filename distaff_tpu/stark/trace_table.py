@@ -60,6 +60,11 @@ class TraceTable:
 
         self.polys_dev = None               # (R, N, 4) device limb coefficients
         self.lde_dev = None                 # (R, N*ext, 4) device limb evaluations
+        # streaming mode (huge domains): lde_dev stays None; only the
+        # stride-sliced evaluation-domain view is materialized
+        self.streaming = False
+        self.lde_stride_dev = None          # (R, N*8, 4) rows of D_ev
+        self._leaf_digests = None           # (D, 8) uint32, from the stream pass
 
     # geometry ------------------------------------------------------------------------------------
 
@@ -73,7 +78,8 @@ class TraceTable:
         return self._register_count
 
     def is_extended(self):
-        return self.lde_dev is not None
+        return self.lde_dev is not None or (
+            self.streaming and self.polys_dev is not None)
 
     # states --------------------------------------------------------------------------------------
 
@@ -125,6 +131,37 @@ class TraceTable:
             regs = jax.device_put(regs, NamedSharding(mesh, P("shard", None, None)))
 
         import os
+        # streaming mode: when the full LDE wouldn't fit HBM alongside the
+        # pipeline's working set, keep only the coefficient polys; the LDE is
+        # recomputed register-chunk-wise inside build_merkle_tree (feeding
+        # the row-hash state and the D_ev stride slice), the DEEP weighted
+        # sums move to coefficient space (weighted sums commute with the
+        # NTT), and query rows evaluate directly from the polys.  This is
+        # what lets a 2^20-step trace (12 GB of LDE at ext 32 for ~24
+        # registers) prove on one 16 GB chip - the reference instead blew
+        # ~20 GB of host RAM here (reference README.md:161).
+        stream_env = os.environ.get("DISTAFF_STREAM_LDE", "auto")
+        lde_bytes = self._register_count * domain * 16
+        budget = int(os.environ.get("DISTAFF_HBM_BUDGET_BYTES", 7 << 30))
+        self.streaming = mesh is None and (
+            stream_env == "1" or (stream_env == "auto" and lde_bytes > budget))
+        if self.streaming:
+            from ..ops import tiles
+            root_n = field.get_root_of_unity(n)
+            parts_p = []
+            rchunk = 4
+            for lo in range(0, regs.shape[0], rchunk):
+                chunk = regs[lo : lo + rchunk]
+                pad = rchunk - chunk.shape[0]
+                if pad:
+                    chunk = jnp.concatenate(
+                        [chunk, jnp.zeros((pad, n, 4), dtype=jnp.uint32)])
+                parts_p.append(tiles.intt_batched(chunk, root_n))
+            polys = (parts_p[0] if len(parts_p) == 1
+                     else jnp.concatenate(parts_p))[: self._register_count]
+            self.polys_dev = polys
+            return
+
         if mesh is None and os.environ.get("DISTAFF_TILED", "1") != "0":
             polys, lde = self._extend_tiled(regs, n, domain)
         else:
@@ -160,19 +197,20 @@ class TraceTable:
         root_n = field.get_root_of_unity(n)
         root_d = field.get_root_of_unity(domain)
         parts_p, parts_l = [], []
+        # the batched NTT is batch-MAJOR (registers on axis 0), matching the
+        # natural (R, N, 4) layout - no transposes at the kernel boundaries
         for lo in range(0, r_count, rchunk):
             chunk = regs[lo : lo + rchunk]
             pad = rchunk - chunk.shape[0]
             if pad:
                 chunk = jnp.concatenate(
                     [chunk, jnp.zeros((pad, n, 4), dtype=jnp.uint32)])
-            x = chunk.transpose(1, 0, 2)                     # (n, RC, 4)
-            p = tiles.intt_batched(x, root_n)
-            padded = jnp.zeros((domain, rchunk, 4), dtype=jnp.uint32)
-            padded = padded.at[:n].set(p)
+            p = tiles.intt_batched(chunk, root_n)            # (RC, n, 4)
+            padded = jnp.zeros((rchunk, domain, 4), dtype=jnp.uint32)
+            padded = padded.at[:, :n].set(p)
             l = tiles.ntt_batched(padded, root_d)
-            parts_p.append(p.transpose(1, 0, 2))
-            parts_l.append(l.transpose(1, 0, 2))
+            parts_p.append(p)
+            parts_l.append(l)
         cat = (lambda ps: ps[0][:r_count] if len(ps) == 1
                else jnp.concatenate(ps)[:r_count])
         return cat(parts_p), cat(parts_l)
@@ -214,8 +252,60 @@ class TraceTable:
         rows = np.transpose(arr, (1, 0, 2))              # (D, R, 4)
         return np.ascontiguousarray(rows).reshape(rows.shape[0], -1).view(np.uint8)
 
+    def _stream_commit(self):
+        """One register-chunk-wise pass over the LDE: each chunk's extended
+        evaluations feed (a) the incremental per-row BLAKE3 state for the
+        trace commitment and (b) the D_ev stride-slice buffer the AIR and
+        boundary sweeps read.  The full (R, D, 4) LDE never exists."""
+        from ..config import MAX_CONSTRAINT_DEGREE
+        from ..ops import tiles
+        from ..ops import blake3_jax as b3
+
+        r_count = self._register_count
+        n = self.trace_length
+        domain = self.domain_size()
+        stride = self.extension_factor // MAX_CONSTRAINT_DEGREE
+        n_ev = domain // stride
+        root_d = field.get_root_of_unity(domain)
+        byte_len = r_count * 16
+        assert byte_len <= 1024, (
+            "streaming commitment supports single-chunk BLAKE3 rows "
+            "(<= 64 registers)")
+
+        cv = b3.absorb_begin(domain)
+        slice_buf = jnp.zeros((r_count, n_ev, 4), dtype=jnp.uint32)
+
+        rchunk = 4  # one 64-byte BLAKE3 block per chunk
+        n_chunks = (r_count + rchunk - 1) // rchunk
+        for ci in range(n_chunks):
+            lo = ci * rchunk
+            chunk = self.polys_dev[lo : lo + rchunk]
+            pad = rchunk - chunk.shape[0]
+            if pad:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.zeros((pad, n, 4), dtype=jnp.uint32)])
+            padded = jnp.zeros((rchunk, domain, 4), dtype=jnp.uint32)
+            padded = padded.at[:, :n].set(chunk)
+            lde_c = tiles.ntt_batched(padded, root_d)
+            cv = b3.absorb_block(
+                cv, lde_c, ci == 0, ci == n_chunks - 1, byte_len)
+            keep = min(rchunk, r_count - lo)
+            slice_buf = slice_buf.at[lo : lo + keep].set(
+                lde_c[:keep, ::stride])
+
+        self.lde_stride_dev = slice_buf
+        self._leaf_digests = b3.absorb_finish(cv)
+
     def build_merkle_tree(self, hash_name):
         import os
+        if self.streaming:
+            assert hash_name == "blake3", (
+                "streaming commitment is blake3-only; set "
+                "DISTAFF_STREAM_LDE=0 for other hash functions")
+            from ..crypto.merkle_dev import make_device_tree
+            if self._leaf_digests is None:
+                self._stream_commit()
+            return make_device_tree(self._leaf_digests)
         row_bytes = self.register_count() * 16
         if (os.environ.get("DISTAFF_DEVICE_HASH", "1") != "0"
                 and hash_name == "blake3" and row_bytes <= 1024):
@@ -242,6 +332,16 @@ class TraceTable:
     def get_register_values_at(self, positions):
         """Rows of the extended trace at the given positions (host ints):
         one bucketed gather + transfer instead of a round-trip per position."""
+        if self.streaming:
+            # no LDE to gather from: evaluate every register poly directly
+            # at x = g^p for each queried position (identical values - the
+            # LDE rows ARE those evaluations)
+            from .prover import _poly_eval_rows
+            root = field.get_root_of_unity(self.domain_size())
+            return [
+                _poly_eval_rows(self.polys_dev, field.exp(root, int(p)))
+                for p in positions
+            ]
         from ..ops.gather import gather_rows
         rows = gather_rows(self.lde_dev, list(positions), axis=1)  # (R, Q, 4)
         ints = fj.to_ints(rows)                      # (R, Q) object

@@ -1,0 +1,88 @@
+"""Streaming-LDE equivalence tests.
+
+The streaming path (trace_table.py: extend + _stream_commit, used when the
+full LDE would not fit HBM) must produce bit-identical commitments, slices,
+and query rows to the materialized path.  Components are compared directly
+on the CPU backend; the full streaming proof is exercised end-to-end on TPU
+by tools/profile_large.py / bench.py at 2^20 (where verify() checks it).
+"""
+
+import numpy as np
+import pytest
+
+import distaff_tpu
+from distaff_tpu import assembly, ProgramInputs
+from distaff_tpu.math import field
+from distaff_tpu.math import field_jax as fj
+from distaff_tpu.processor import execute as vm_execute
+from distaff_tpu.stark.trace_table import TraceTable
+
+
+@pytest.fixture(scope="module")
+def traces():
+    program = assembly.compile("begin repeat.8 swap dup.2 drop add end end")
+    inputs = ProgramInputs.from_public([1, 0])
+    regs, ctx_depth, loop_depth = vm_execute(program, inputs)
+
+    plain = TraceTable(regs, ctx_depth, loop_depth, 16)
+    plain.extend()
+
+    stream = TraceTable(regs, ctx_depth, loop_depth, 16)
+    stream.extend()
+    assert not stream.streaming  # auto mode never streams tiny traces
+    stream.streaming = True      # force the streaming machinery
+    stream.lde_dev = None
+    stream._stream_commit()
+    return plain, stream
+
+
+def test_stream_polys_match(traces):
+    plain, stream = traces
+    assert (np.asarray(plain.polys_dev) == np.asarray(stream.polys_dev)).all()
+
+
+def test_stream_commit_matches_materialized(traces):
+    plain, stream = traces
+    # leaf digests: incremental block absorption == whole-row hashing
+    from distaff_tpu.ops.blake3_jax import hash_trace_rows_dev
+    want = np.asarray(hash_trace_rows_dev(plain.lde_dev))
+    got = np.asarray(stream._leaf_digests)
+    assert (got == want).all()
+
+    # the D_ev stride slice buffer == a strided view of the full LDE
+    stride = plain.extension_factor // 8
+    want_slice = np.asarray(plain.lde_dev[:, ::stride, :])
+    assert (np.asarray(stream.lde_stride_dev) == want_slice).all()
+
+    # and the Merkle roots agree
+    assert (plain.build_merkle_tree("blake3").root()
+            == stream.build_merkle_tree("blake3").root())
+
+
+def test_stream_query_rows_match(traces):
+    plain, stream = traces
+    positions = [1, 7, 30, 101, plain.domain_size() - 2]
+    assert (stream.get_register_values_at(positions)
+            == plain.get_register_values_at(positions))
+
+
+def test_stream_weighted_sum_commutes(traces):
+    # weighted register sums in coefficient space, then NTT == weighted
+    # sums of the extended LDE (the streaming DEEP-composition identity)
+    from distaff_tpu.ops import tiles
+
+    plain, stream = traces
+    r = plain.register_count()
+    rng = np.random.default_rng(5)
+    w = fj.from_ints(np.array(
+        [int.from_bytes(rng.bytes(16), "little") % field.M for _ in range(r)],
+        dtype=object))
+
+    want = np.asarray(tiles.weighted_register_sum(plain.lde_dev, w))
+
+    import jax.numpy as jnp
+    n = plain.domain_size()
+    combo = tiles.weighted_register_sum(stream.polys_dev, w)
+    padded = jnp.zeros((n, 4), dtype=jnp.uint32).at[: combo.shape[0]].set(combo)
+    got = np.asarray(tiles.ntt(padded, field.get_root_of_unity(n)))
+    assert (got == want).all()

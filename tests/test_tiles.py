@@ -57,15 +57,16 @@ def test_fold_rows_matches(q):
 
 @pytest.mark.parametrize("n,b", [(8, 1), (64, 3), (256, 2), (1024, 1), (4096, 1)])
 def test_ntt_batched_matches(n, b):
+    # tiles.ntt_batched is batch-MAJOR: (B, n, 4), transform along axis 1
     rng = random.Random(n * 31 + b)
     cols = np.array(
-        [[rng.randrange(field.M) for _ in range(b)] for _ in range(n)],
+        [[rng.randrange(field.M) for _ in range(n)] for _ in range(b)],
         dtype=object)
     x = fj.from_ints(cols)
     got = fj.to_ints(np.asarray(tiles.ntt_batched(x, field.get_root_of_unity(n))))
     for j in range(b):
-        want = fj.to_ints(np.asarray(fj.ntt(fj.from_ints(cols[:, j]))))
-        assert (got[:, j] == want).all(), (n, b, j)
+        want = fj.to_ints(np.asarray(fj.ntt(fj.from_ints(cols[j]))))
+        assert (got[j] == want).all(), (n, b, j)
 
 
 @pytest.mark.parametrize("n", [16, 512, 2048])
