@@ -36,6 +36,14 @@ def _time(fn, reps=5, warmup=1):
     return (time.time() - t0) / reps
 
 
+def _sync(out):
+    """Force completion of device work: on the tunneled TPU,
+    block_until_ready returns immediately (the runtime is fully async up to
+    the first device->host fetch), so fetch one tiny row instead."""
+    np.asarray(out[:1])
+    return out
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--json", action="store_true")
@@ -72,21 +80,61 @@ def main():
     t = _time(lambda: [hasher.apply_round(list(state), i) for i in range(100)], reps=2)
     results["rescue_round_us"] = t / 100 * 1e6
 
-    # device NTT (butterflies/s): n/2 * log2(n) butterflies per transform
-    n = 1 << 18
-    x = jax.numpy.tile(fj.from_ints([rng.randrange(field.M) for _ in range(4096)]),
-                       (n // 4096, 1))
-    fj.ntt(x).block_until_ready()
-    t = _time(lambda: fj.ntt(x).block_until_ready(), reps=5)
-    butterflies = (n // 2) * (n.bit_length() - 1)
-    results["device_ntt_2e18_ms"] = t * 1e3
-    results["device_ntt_Gbutterflies_per_s"] = butterflies / t / 1e9
+    # ---- device kernel rates vs speed-of-light --------------------------------------------------
+    #
+    # Roofline model (documented so the ratios are checkable):
+    # - TPU v5e (1 TensorCore/chip): VPU is (8, 128) lanes x 4 ALUs at
+    #   ~0.94 GHz ~= 3.85e12 u32 ops/s; HBM ~819 GB/s.
+    # - one 128-bit field mul in 16-bit halfwords: 64 partial products
+    #   (1 mul-lo + 1 mul-hi emulated via 2x u32 mul + masks ~ 4 ops each),
+    #   carry normalization + two modulus foldings ~= 450 u32 vector ops
+    #   (counted from field_jax._mul_halfwords/_carry_normalize lowering).
+    # - one NTT butterfly = 1 add + 1 sub + 1 mul ~= 520 u32 ops, and moves
+    #   32 B in + 32 B out of HBM when unfused.
+    VPU_OPS = 3.85e12
+    HBM_BPS = 819e9
+    OPS_PER_MUL = 450.0
+    OPS_PER_BUTTERFLY = 520.0
 
-    # device field multiply throughput
+    from distaff_tpu.ops import tiles
+    from distaff_tpu.ops.blake3_jax import hash_rows_u32
+
+    # production NTT path (tiles, batch-major) at a bench-relevant size
+    n = 1 << 20
+    x = jax.numpy.tile(
+        fj.from_ints([rng.randrange(field.M) for _ in range(4096)]),
+        (n // 4096, 1))
+    root = field.get_root_of_unity(n)
+    _sync(tiles.ntt(x, root))
+    t = _time(lambda: _sync(tiles.ntt(x, root)), reps=5)
+    butterflies = (n // 2) * (n.bit_length() - 1)
+    results["device_ntt_2e20_ms"] = t * 1e3
+    rate_b = butterflies / t
+    results["device_ntt_Gbutterflies_per_s"] = rate_b / 1e9
+    results["device_ntt_vs_compute_sol"] = rate_b / (VPU_OPS / OPS_PER_BUTTERFLY)
+    results["device_ntt_vs_hbm_sol"] = rate_b / (HBM_BPS / 64.0)
+
+    # raw device field multiply throughput
     y = jax.numpy.roll(x, 1, axis=0)
-    fj.mul(x, y).block_until_ready()
-    t = _time(lambda: fj.mul(x, y).block_until_ready(), reps=5)
-    results["device_mul_Gops_per_s"] = n / t / 1e9
+    _sync(fj.mul(x, y))
+    t = _time(lambda: _sync(fj.mul(x, y)), reps=5)
+    rate_m = n / t
+    results["device_mul_Gops_per_s"] = rate_m / 1e9
+    results["device_mul_vs_compute_sol"] = rate_m / (VPU_OPS / OPS_PER_MUL)
+    # unfused elementwise mul moves 96 B/element (2 in + 1 out)
+    results["device_mul_vs_hbm_sol"] = rate_m / (HBM_BPS / 96.0)
+
+    # device BLAKE3 row hashing (Merkle leaves): rows/s on 384-byte rows
+    # (24-register trace); BLAKE3 is ~7 rounds x 8 G x ~14 ops per 64-byte
+    # block ~= 800 u32 ops/block, 6 blocks/row
+    rows = jax.numpy.asarray(
+        np.random.default_rng(1).integers(0, 2**32, size=(1 << 18, 96),
+                                          dtype=np.uint64).astype(np.uint32))
+    _sync(hash_rows_u32(rows, 384))
+    t = _time(lambda: _sync(hash_rows_u32(rows, 384)), reps=5)
+    rate_h = (1 << 18) / t
+    results["device_blake3_384B_Mrows_per_s"] = rate_h / 1e6
+    results["device_blake3_vs_compute_sol"] = rate_h / (VPU_OPS / (800.0 * 6))
 
     results["device"] = str(jax.devices()[0])
     if args.json:

@@ -119,17 +119,18 @@ def absorb_begin(n):
     return jnp.stack([jnp.full((n,), iv, dtype=jnp.uint32) for iv in _IV])
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def absorb_block(cv, lde_chunk4, first, last, byte_len):
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def absorb_block(cv, r0, r1, r2, r3, first, last, byte_len):
     """One 64-byte block per row: 4 registers' limbs for every domain row.
 
-    cv: (8, D) chaining values; lde_chunk4: (4, D, 4) uint32 limbs (register
-    r's u128 LE words are message words 4r..4r+3 - the transpose+reshape to
-    (16, D) message words happens inside this jit so no (D, 4, 4)-shaped
-    array ever hits a program boundary).  byte_len is the FULL row length;
-    the final block's len is its remainder (zero-padded registers)."""
-    d = lde_chunk4.shape[1]
-    m_stack = jnp.transpose(lde_chunk4, (1, 0, 2)).reshape(d, 16).T  # (16, D)
+    cv: (8, D) chaining values; r0..r3: (D, 4) uint32 limb arrays (register
+    k's u128 LE words are message words 4k..4k+3).  The registers arrive as
+    four separate 2D operands on purpose: any (4, D, 4) / (D, 4, 4)-shaped
+    tensor at a program boundary gets a T(8,128)-padded layout copy (32x
+    HBM -> OOM at 2^25 domains).  byte_len is the FULL row length; the
+    final block's len is its remainder (zero-padded registers)."""
+    m_stack = jnp.stack(
+        [r[:, l] for r in (r0, r1, r2, r3) for l in range(4)])  # (16, D)
     flags = 0
     if first:
         flags |= CHUNK_START

@@ -276,6 +276,11 @@ def _apply_twiddles(bv, root_int, n1, n2, b):
     w = int(root_int)
     rg = min(_RGROUP_T, n1)
     btwid = max(1, (_RGROUP_T * _BTWID) // rg)
+    # never pad the batch axis BEYOND the next power of two of the actual
+    # batch: padding b=1 up to btwid at a 2^25 transform materializes a
+    # multi-GB zero tensor (measured 4 GB -> OOM at 2^20 traces); a smaller
+    # power-of-two tile is one extra bounded compile instead
+    btwid = min(btwid, 1 << max(b - 1, 0).bit_length())
     bases = fj.from_ints(
         np.array([pow(w, r, M) for r in range(rg)], dtype=object))
     x = bv

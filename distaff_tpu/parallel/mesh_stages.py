@@ -84,12 +84,20 @@ def transition_sharded(evaluator, trace, mesh, debug_check=True):
         [1] * len(evaluator.t_degree_groups), dtype=object))
     last_step_row = n_ev - MAX_CONSTRAINT_DEGREE
 
-    combined, bad = _transition_kernel(
-        lde, ext, dec_ark, dec_masks, stk_ark, cc, xp_bases_dev,
-        xp_prefix, jnp.asarray(last_step_row, jnp.int32),
-        jnp.asarray(n_ev, jnp.int32),
-        ctx_depth=evaluator.ctx_depth, loop_depth=evaluator.loop_depth,
-        stack_depth=evaluator.stack_depth, groups=groups)
+    # the fused AIR kernel's CPU XLA compile is pathological (>10 min), so
+    # on a (virtual) CPU mesh the same math runs op-by-op; shardings
+    # propagate identically through eager ops on the sharded operands
+    import contextlib
+
+    on_cpu = all(d.platform == "cpu" for d in mesh.devices.flat)
+    ctx = jax.disable_jit() if on_cpu else contextlib.nullcontext()
+    with ctx:
+        combined, bad = _transition_kernel(
+            lde, ext, dec_ark, dec_masks, stk_ark, cc, xp_bases_dev,
+            xp_prefix, jnp.asarray(last_step_row, jnp.int32),
+            jnp.asarray(n_ev, jnp.int32),
+            ctx_depth=evaluator.ctx_depth, loop_depth=evaluator.loop_depth,
+            stack_depth=evaluator.stack_depth, groups=groups)
     if debug_check:
         assert int(bad) == 0, (
             f"transition constraints not satisfied at {int(bad)} trace steps")

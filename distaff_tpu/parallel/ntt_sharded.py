@@ -20,7 +20,13 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+# jax.shard_map is the stable API (>= 0.4.35); the experimental module is
+# deprecated and will disappear in a future release
+if hasattr(jax, "shard_map"):
+    shard_map = jax.shard_map
+else:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..math import field
 from ..math import field_jax as fj

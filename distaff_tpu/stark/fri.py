@@ -40,7 +40,12 @@ def _build_layer_tree(rows_dev, hash_name):
     if hash_name == "blake3" and os.environ.get("DISTAFF_DEVICE_HASH", "1") != "0":
         from ..ops import tiles
         from ..crypto.merkle_dev import make_device_tree
-        digests = tiles.hash_rows(rows_dev.reshape(q, 16), 64)
+        # (q, 4, 4) -> (q, 16) by stacking limb slices: a direct .reshape
+        # of a (q, 4, 4) array is lowered as a copy into a T(8,128)-padded
+        # layout (32x HBM) at multi-GB layer sizes
+        words = jnp.stack(
+            [rows_dev[:, w // 4, w % 4] for w in range(16)], axis=1)
+        digests = tiles.hash_rows(words, 64)
         return make_device_tree(digests)
     arr = np.asarray(rows_dev)
     rows_bytes = np.ascontiguousarray(arr).reshape(arr.shape[0], -1).view(np.uint8)

@@ -63,6 +63,11 @@ def prove(trace, inputs, outputs, options):
     now = time.time()
     constraint_poly = _combine_constraint_polys(
         evaluator, i_evals, f_evals, t_evals, trace.unextended_length())
+    del i_evals, f_evals, t_evals
+    if trace.streaming:
+        # the D_ev stride slice (multi-GB at 2^20) has no consumers past
+        # step 4; free it before the constraint LDE + FRI working sets land
+        trace.lde_stride_dev = None
     log.debug("Combined constraint evaluations into a polynomial in %.0f ms",
               (time.time() - now) * 1000)
 
@@ -142,13 +147,27 @@ def _evaluate_constraints_columnar(evaluator, trace, debug_check=True):
     # the normal trade for production multi-chip shapes.
     from ..parallel.mesh import configured_mesh
     mesh = configured_mesh()
+    lde_any = trace.lde_dev if trace.lde_dev is not None else trace.polys_dev
+    on_accelerator = any(d.platform != "cpu" for d in lde_any.devices())
     if mesh is not None and n_ev % mesh.devices.size == 0:
         from ..parallel import mesh_stages
 
         i_evals, f_evals = mesh_stages.boundaries_sharded(
             evaluator, trace, stride, mesh)
-        t_evals = mesh_stages.transition_sharded(
-            evaluator, trace, mesh, debug_check)
+        # the fused AIR kernel compiles pathologically slowly on CPU XLA, so
+        # "auto" shards it only on real accelerators and keeps the native
+        # host sweep on (virtual) CPU meshes; DISTAFF_MESH_AIR=1 forces the
+        # sharded kernel anywhere (the CPU mesh test runs it under
+        # jax.disable_jit instead)
+        mesh_air = os.environ.get("DISTAFF_MESH_AIR", "auto")
+        use_mesh_air = mesh_air == "1" or (
+            mesh_air == "auto" and on_accelerator) or not native.available()
+        if use_mesh_air or jax_disable_jit_active():
+            t_evals = mesh_stages.transition_sharded(
+                evaluator, trace, mesh, debug_check)
+        else:
+            t_evals = _native_transition_column(
+                evaluator, trace, stride, debug_check)
         return i_evals, f_evals, t_evals
 
     # default path for large domains: the whole step stays on device -
@@ -162,8 +181,6 @@ def _evaluate_constraints_columnar(evaluator, trace, debug_check=True):
     # "auto": device kernel on real accelerators for large domains.  CPU XLA
     # compiles this kernel pathologically slowly (>10 min), so auto never
     # picks it there; "1" forces it regardless of backend.
-    lde_any = trace.lde_dev if trace.lde_dev is not None else trace.polys_dev
-    on_accelerator = any(d.platform != "cpu" for d in lde_any.devices())
     use_device_air = air_mode == "1" or trace.streaming or (
         air_mode == "auto" and on_accelerator
         and (n_ev >= min_domain or min_domain == 0))
@@ -174,34 +191,16 @@ def _evaluate_constraints_columnar(evaluator, trace, debug_check=True):
         t_evals = evaluate_transition_device(evaluator, trace, debug_check)
         return i_evals, f_evals, t_evals
 
+    # transition constraints: native columnar sweep when available; boundary
+    # columns become two fused weighted register sums on device
+    if native.available():
+        i_evals, f_evals = _evaluate_boundaries_device(evaluator, trace, stride)
+        t_u32 = _native_transition_column(evaluator, trace, stride, debug_check)
+        return i_evals, f_evals, t_u32
+
     # stride-slice on device so only n_ev rows cross the link, not the
     # full LDE domain
     trace_u32 = np.ascontiguousarray(np.asarray(trace.lde_dev[:, ::stride, :]))
-
-    use_native = native.available()
-
-    # transition constraints: native columnar sweep when available; boundary
-    # columns become two fused weighted register sums on device
-    if use_native:
-        i_evals, f_evals = _evaluate_boundaries_device(evaluator, trace, stride)
-        # x^incr over the evaluation domain is the power series of r^incr -
-        # computed on device per degree group instead of gathering a host
-        # copy of the full domain power table
-        from ..ops import tiles
-        root_ev = field.get_root_of_unity(n_ev)
-        xp_u32 = np.stack([
-            np.asarray(tiles.power_series(field.exp(root_ev, incr), n_ev))
-            for incr, _ in evaluator.t_degree_groups])
-        t_u32 = native.eval_transition(
-            trace_u32, trace.ctx_depth, trace.loop_depth, trace.stack_depth,
-            evaluator.decoder.ark_rows, evaluator.decoder.mask_rows,
-            evaluator.stack.ark_rows,
-            evaluator.coefficients.transition, evaluator.t_degree_groups, xp_u32)
-        if debug_check:
-            zeros = t_u32[:: MAX_CONSTRAINT_DEGREE][:-1]
-            bad = np.nonzero(zeros.any(axis=1))[0]
-            assert len(bad) == 0, f"transition constraints not satisfied at step {bad[:3]}"
-        return i_evals, f_evals, t_u32
 
     # fallback path: host object columns through the polymorphic AIR
     P_u32 = np.asarray(fj.power_series(field.get_root_of_unity(n_ev), n_ev))
@@ -233,6 +232,40 @@ def _evaluate_constraints_columnar(evaluator, trace, debug_check=True):
         assert len(bad) == 0, f"transition constraints not satisfied at step {bad[:3]}"
 
     return i_evals, f_evals, t_evals
+
+
+def jax_disable_jit_active():
+    import jax
+
+    return bool(jax.config.jax_disable_jit)
+
+
+def _native_transition_column(evaluator, trace, stride, debug_check):
+    """Native C++ columnar transition sweep over D_ev (host-side): the
+    stride slice crosses the link once, xp power series come from device
+    tiles, and the combined column returns as (n_ev, 4) uint32."""
+    from .. import native
+    from ..ops import tiles
+
+    n_ev = evaluator.domain_size
+    if trace.streaming:
+        trace_u32 = np.ascontiguousarray(np.asarray(trace.lde_stride_dev))
+    else:
+        trace_u32 = np.ascontiguousarray(np.asarray(trace.lde_dev[:, ::stride, :]))
+    root_ev = field.get_root_of_unity(n_ev)
+    xp_u32 = np.stack([
+        np.asarray(tiles.power_series(field.exp(root_ev, incr), n_ev))
+        for incr, _ in evaluator.t_degree_groups])
+    t_u32 = native.eval_transition(
+        trace_u32, trace.ctx_depth, trace.loop_depth, trace.stack_depth,
+        evaluator.decoder.ark_rows, evaluator.decoder.mask_rows,
+        evaluator.stack.ark_rows,
+        evaluator.coefficients.transition, evaluator.t_degree_groups, xp_u32)
+    if debug_check:
+        zeros = t_u32[:: MAX_CONSTRAINT_DEGREE][:-1]
+        bad = np.nonzero(zeros.any(axis=1))[0]
+        assert len(bad) == 0, f"transition constraints not satisfied at step {bad[:3]}"
+    return t_u32
 
 
 def _evaluate_boundaries_device(evaluator, trace, stride):
@@ -382,10 +415,23 @@ def _combine_constraint_polys(evaluator, i_evals, f_evals, t_evals, trace_length
         return fj.from_ints(np.asarray(evals, dtype=object))
 
     from ..ops import tiles
-    stacked = jnp.stack(
-        [_to_limbs(i_evals), _to_limbs(f_evals), _to_limbs(t_evals)], axis=0)
-    polys3 = tiles.intt_batched(stacked, ev_root)            # one batched iNTT
-    i_poly, f_poly, t_poly = polys3[0], polys3[1], polys3[2]
+    if evaluator.domain_size >= (1 << 23):
+        # huge domains: three separate iNTTs with a fence between them -
+        # the async eager NTT chain holds ~10 full-size intermediates, and
+        # batching all three columns at 2^23+ rows triples that peak
+        def _intt_fenced(evals):
+            out = tiles.intt(_to_limbs(evals), ev_root)
+            np.asarray(out[:1])
+            return out
+
+        i_poly = _intt_fenced(i_evals)
+        f_poly = _intt_fenced(f_evals)
+        t_poly = _intt_fenced(t_evals)
+    else:
+        stacked = jnp.stack(
+            [_to_limbs(i_evals), _to_limbs(f_evals), _to_limbs(t_evals)], axis=0)
+        polys3 = tiles.intt_batched(stacked, ev_root)        # one batched iNTT
+        i_poly, f_poly, t_poly = polys3[0], polys3[1], polys3[2]
 
     x_last = evaluator.get_x_at_last_step()
     i_div = _syn_div_dev(i_poly, 1)
@@ -420,9 +466,14 @@ def _build_constraint_tree(constraint_lde, hash_name):
     """Two evaluations (32 raw bytes) per leaf - unlike the trace tree, the
     leaves are the evaluation bytes themselves (reference prover.rs:84-86)."""
     if hash_name == "blake3" and os.environ.get("DISTAFF_DEVICE_HASH", "1") != "0":
-        from ..crypto.merkle_dev import DeviceMerkleTree
-        leaves = constraint_lde.reshape(constraint_lde.shape[0] // 2, 8)
-        return DeviceMerkleTree(leaves)
+        from ..crypto.merkle_dev import make_device_tree
+        # (D, 4) -> (D/2, 8) leaves by stacking even/odd limb slices: the
+        # direct reshape is lowered as a copy into a T(8,128)-padded layout
+        # (32x HBM) at 2^25-element domains
+        leaves = jnp.stack(
+            [constraint_lde[0::2, l] for l in range(4)]
+            + [constraint_lde[1::2, l] for l in range(4)], axis=1)
+        return make_device_tree(leaves)
     arr = np.ascontiguousarray(np.asarray(constraint_lde))  # (D, 4) u32
     leaves_bytes = arr.reshape(arr.shape[0] // 2, 8).view(np.uint8)  # (D/2, 32)
     return MerkleTree(leaves_bytes, hash_name)

@@ -273,27 +273,35 @@ class TraceTable:
             "(<= 64 registers)")
 
         cv = b3.absorb_begin(domain)
-        slice_buf = jnp.zeros((r_count, n_ev, 4), dtype=jnp.uint32)
+        slice_parts = []
+        staged = []  # up to 4 single-register (1, D, 4) LDEs = one 64B block
 
-        rchunk = 4  # one 64-byte BLAKE3 block per chunk
-        n_chunks = (r_count + rchunk - 1) // rchunk
-        for ci in range(n_chunks):
-            lo = ci * rchunk
-            chunk = self.polys_dev[lo : lo + rchunk]
-            pad = rchunk - chunk.shape[0]
-            if pad:
-                chunk = jnp.concatenate(
-                    [chunk, jnp.zeros((pad, n, 4), dtype=jnp.uint32)])
-            padded = jnp.zeros((rchunk, domain, 4), dtype=jnp.uint32)
-            padded = padded.at[:, :n].set(chunk)
-            lde_c = tiles.ntt_batched(padded, root_d)
-            cv = b3.absorb_block(
-                cv, lde_c, ci == 0, ci == n_chunks - 1, byte_len)
-            keep = min(rchunk, r_count - lo)
-            slice_buf = slice_buf.at[lo : lo + keep].set(
-                lde_c[:keep, ::stride])
+        n_blocks = (r_count + 3) // 4
+        for r in range(r_count):
+            # one register at a time: the eager big-n NTT chain materializes
+            # ~10 full-domain intermediates before the async queue drains, so
+            # the per-register chain (~10 x 512 MB at 2^25) is the HBM peak;
+            # wider batches multiply it (rchunk=4 OOMed a 16 GB chip)
+            padded = jnp.zeros((1, domain, 4), dtype=jnp.uint32)
+            padded = padded.at[:, :n].set(self.polys_dev[r : r + 1])
+            lde_r = tiles.ntt_batched(padded, root_d)[0]     # (D, 4)
+            slice_parts.append(lde_r[None, ::stride])
+            staged.append(lde_r)
+            # fence: retire this register's NTT working set before enqueuing
+            # the next (the runtime is fully async otherwise)
+            np.asarray(lde_r[:1])
 
-        self.lde_stride_dev = slice_buf
+            if len(staged) == 4 or r == r_count - 1:
+                while len(staged) < 4:  # zero-pad the final partial block
+                    staged.append(jnp.zeros((domain, 4), dtype=jnp.uint32))
+                bi = r // 4
+                cv = b3.absorb_block(
+                    cv, staged[0], staged[1], staged[2], staged[3],
+                    bi == 0, bi == n_blocks - 1, byte_len)
+                staged = []
+                np.asarray(cv[0, :1])
+
+        self.lde_stride_dev = jnp.concatenate(slice_parts)
         self._leaf_digests = b3.absorb_finish(cv)
 
     def build_merkle_tree(self, hash_name):

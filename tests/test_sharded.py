@@ -59,3 +59,46 @@ def test_mesh_prove_bit_identical(monkeypatch):
     assert serde.serialize(proof1) == serde.serialize(proof2)
     assert distaff_tpu.verify(
         program.hash, inputs.get_public_inputs(), outputs2, proof2)
+
+
+def test_mesh_prove_8dev_all_stages_sharded(monkeypatch):
+    """8-device mesh proof: byte-identical to single-device AND every
+    pipeline stage actually ran with a mesh sharding (inspected via
+    mesh_stages.RECORDED_SHARDINGS - the transition AIR, boundary columns,
+    DEEP composition, and FRI folds each record their operand's sharding)."""
+    _require_devices(8)
+    import distaff_tpu
+    from distaff_tpu import assembly, ProgramInputs, ProofOptions
+    from distaff_tpu.parallel import mesh_stages
+    from distaff_tpu.stark import serde
+
+    # large enough that every stage (incl. FRI's first fold and the AIR
+    # sweep) sees row counts divisible by 8
+    program = assembly.compile("begin repeat.24 swap dup.2 drop add end end")
+    inputs = ProgramInputs.from_public([1, 0])
+    options = ProofOptions(extension_factor=16, num_queries=10, grinding_factor=2)
+
+    outputs1, proof1 = distaff_tpu.execute(program, inputs, 1, options)
+
+    mesh_stages.RECORDED_SHARDINGS.clear()
+    monkeypatch.setenv("DISTAFF_MESH_DEVICES", "8")
+    # force the sharded AIR stage (on CPU meshes "auto" keeps the native
+    # sweep; transition_sharded itself drops to op-by-op execution on CPU,
+    # where the fused kernel's XLA compile is pathological)
+    monkeypatch.setenv("DISTAFF_MESH_AIR", "1")
+    outputs2, proof2 = distaff_tpu.execute(program, inputs, 1, options)
+
+    assert outputs1 == outputs2
+    assert serde.serialize(proof1) == serde.serialize(proof2)
+    assert distaff_tpu.verify(
+        program.hash, inputs.get_public_inputs(), outputs2, proof2)
+
+    recorded = mesh_stages.RECORDED_SHARDINGS
+    for stage in ("transition", "boundaries", "composition", "fri_fold"):
+        assert stage in recorded, f"stage {stage} never took the mesh path"
+        sharding = recorded[stage]
+        assert getattr(sharding, "num_devices", None) == 8 or (
+            hasattr(sharding, "mesh") and sharding.mesh.devices.size == 8), (
+            f"stage {stage} not sharded over 8 devices: {sharding}")
+        assert not sharding.is_fully_replicated, (
+            f"stage {stage} fully replicated: {sharding}")
