@@ -99,14 +99,25 @@ def main():
     from distaff_tpu.ops import tiles
     from distaff_tpu.ops.blake3_jax import hash_rows_u32
 
+    # the device->host sync through the tunnel costs ~25 ms of RTT, so each
+    # measurement chains CHAIN dependent iterations and syncs once
+    CHAIN = 16
+
     # production NTT path (tiles, batch-major) at a bench-relevant size
     n = 1 << 20
     x = jax.numpy.tile(
         fj.from_ints([rng.randrange(field.M) for _ in range(4096)]),
         (n // 4096, 1))
     root = field.get_root_of_unity(n)
-    _sync(tiles.ntt(x, root))
-    t = _time(lambda: _sync(tiles.ntt(x, root)), reps=5)
+
+    def ntt_chain():
+        y = x
+        for _ in range(CHAIN):
+            y = tiles.ntt(y, root)
+        _sync(y)
+
+    ntt_chain()
+    t = _time(ntt_chain, reps=3) / CHAIN
     butterflies = (n // 2) * (n.bit_length() - 1)
     results["device_ntt_2e20_ms"] = t * 1e3
     rate_b = butterflies / t
@@ -115,9 +126,16 @@ def main():
     results["device_ntt_vs_hbm_sol"] = rate_b / (HBM_BPS / 64.0)
 
     # raw device field multiply throughput
-    y = jax.numpy.roll(x, 1, axis=0)
-    _sync(fj.mul(x, y))
-    t = _time(lambda: _sync(fj.mul(x, y)), reps=5)
+    y0 = jax.numpy.roll(x, 1, axis=0)
+
+    def mul_chain():
+        y = y0
+        for _ in range(CHAIN):
+            y = fj.mul(x, y)
+        _sync(y)
+
+    mul_chain()
+    t = _time(mul_chain, reps=3) / CHAIN
     rate_m = n / t
     results["device_mul_Gops_per_s"] = rate_m / 1e9
     results["device_mul_vs_compute_sol"] = rate_m / (VPU_OPS / OPS_PER_MUL)
@@ -130,11 +148,47 @@ def main():
     rows = jax.numpy.asarray(
         np.random.default_rng(1).integers(0, 2**32, size=(1 << 18, 96),
                                           dtype=np.uint64).astype(np.uint32))
-    _sync(hash_rows_u32(rows, 384))
-    t = _time(lambda: _sync(hash_rows_u32(rows, 384)), reps=5)
+
+    def hash_chain():
+        h = rows
+        for _ in range(CHAIN):
+            h = jax.numpy.concatenate(
+                [hash_rows_u32(h, 384), h[:, 8:]], axis=1)
+        _sync(h)
+
+    hash_chain()
+    t = _time(hash_chain, reps=3) / CHAIN
     rate_h = (1 << 18) / t
     results["device_blake3_384B_Mrows_per_s"] = rate_h / 1e6
     results["device_blake3_vs_compute_sol"] = rate_h / (VPU_OPS / (800.0 * 6))
+
+    # fused (single-dispatch) variants: the eager rates above include the
+    # tunneled per-dispatch overhead (~3 ms each); these jit K iterations
+    # into ONE program, so they measure what the silicon actually sustains
+    K = 16
+
+    @jax.jit
+    def _mul_k(a, b):
+        y = b
+        for _ in range(K):
+            y = fj.mul(a, y)
+        return y
+
+    _sync(_mul_k(x, y0))
+    t = _time(lambda: _sync(_mul_k(x, y0)), reps=3) / K
+    rate_mf = n / t
+    results["device_mul_fused_Gops_per_s"] = rate_mf / 1e9
+    results["device_mul_fused_vs_compute_sol"] = rate_mf / (VPU_OPS / OPS_PER_MUL)
+
+    ntt_fused = jax.jit(lambda v: tiles.ntt(tiles.ntt(v, root), root))
+    _sync(ntt_fused(x))
+    t = _time(lambda: _sync(ntt_fused(x)), reps=3) / 2
+    rate_bf = butterflies / t
+    results["device_ntt_fused_2e20_ms"] = t * 1e3
+    results["device_ntt_fused_Gbutterflies_per_s"] = rate_bf / 1e9
+    results["device_ntt_fused_vs_compute_sol"] = (
+        rate_bf / (VPU_OPS / OPS_PER_BUTTERFLY))
+    results["device_ntt_fused_vs_hbm_sol"] = rate_bf / (HBM_BPS / 64.0)
 
     results["device"] = str(jax.devices()[0])
     if args.json:

@@ -72,9 +72,10 @@ def test_mesh_prove_8dev_all_stages_sharded(monkeypatch):
     from distaff_tpu.parallel import mesh_stages
     from distaff_tpu.stark import serde
 
-    # large enough that every stage (incl. FRI's first fold and the AIR
-    # sweep) sees row counts divisible by 8
-    program = assembly.compile("begin repeat.24 swap dup.2 drop add end end")
+    # just large enough that every stage (incl. FRI's first fold and the
+    # AIR sweep) sees row counts divisible by 8; the op-by-op sharded AIR
+    # makes this test's cost scale steeply with trace length
+    program = assembly.compile("begin repeat.2 swap dup.2 drop add end end")
     inputs = ProgramInputs.from_public([1, 0])
     options = ProofOptions(extension_factor=16, num_queries=10, grinding_factor=2)
 
