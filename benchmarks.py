@@ -13,8 +13,9 @@ import random
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from distaff_tpu.jax_setup import machine_cache_dir
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", machine_cache_dir())
 
 import numpy as np
 import jax

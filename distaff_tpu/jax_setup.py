@@ -11,14 +11,38 @@ hit costs milliseconds.  We therefore
   tunnel in every fresh process - measured at 0.3-1 s per tiny kernel).
 """
 
+import hashlib
 import os
+import platform
 
 _CONFIGURED = False
 
 # Repo-local so the warmed cache survives anything that clears /tmp between
 # proving sessions (gitignored).
-DEFAULT_CACHE_DIR = os.path.join(
+DEFAULT_CACHE_BASE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+
+
+def machine_cache_dir(base=None):
+    """Per-machine compilation-cache directory.
+
+    XLA:CPU AOT executables embed the build host's CPU features; loading an
+    entry written by a different machine can execute unsupported
+    instructions (observed: SIGSEGV inside the cache read when this repo
+    directory moved between builder machines).  Salting the directory with
+    a CPU-feature fingerprint makes a foreign cache invisible instead of
+    fatal.  (TPU entries are compiled server-side and machine-independent,
+    but they share the process cache dir, so they get salted too - the cost
+    is a one-time re-warm per machine.)"""
+    base = base or DEFAULT_CACHE_BASE
+    try:
+        with open("/proc/cpuinfo") as fh:
+            flags = next((ln for ln in fh if ln.startswith("flags")), "")
+    except OSError:  # pragma: no cover - non-Linux
+        flags = ""
+    fp = hashlib.md5(
+        (platform.machine() + flags).encode()).hexdigest()[:10]
+    return f"{base}_{fp}"
 
 
 def configure():
@@ -27,7 +51,8 @@ def configure():
         return
     _CONFIGURED = True
 
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", DEFAULT_CACHE_DIR)
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", machine_cache_dir())
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
 
     import jax

@@ -238,6 +238,106 @@ def butterfly_stage(a, b, w, interpret=None):
 
 
 # ------------------------------------------------------------------------------------------------
+# multi-stage leaf NTT: ALL stages of a size-n_leaf transform fused in VMEM
+# ------------------------------------------------------------------------------------------------
+#
+# The four-step recursion (ops/tiles.py) reduces every big NTT to batched
+# leaf transforms of size <= LEAF (default 1024).  A leaf fits VMEM whole,
+# so one kernel invocation reads each element once from HBM, runs all
+# log2(n_leaf) butterfly stages in VMEM, and writes once - versus one HBM
+# round trip PER STAGE for both the stage-at-a-time Pallas kernel above and
+# the XLA fori_loop path (XLA cannot fuse across the loop's iterations).
+
+
+def _leaf_ntt_kernel(n_leaf, a0, a1, a2, a3, w0, w1, w2, w3,
+                     o0, o1, o2, o3):
+    """One block: (n_leaf, bt) limb planes - the transform runs along the
+    SUBLANE (row) axis with the batch on the 128-wide lane axis, so the
+    per-stage Pease interleave is a row-axis reshape (lane dim untouched -
+    Mosaic rejects lane-dim reshapes); twiddles: (levels, n_leaf/2)."""
+    w_all = [w0[:], w1[:], w2[:], w3[:]]
+    bt = a0.shape[1]
+    half = n_leaf // 2
+    levels = n_leaf.bit_length() - 1
+
+    # unrolled Python loop: Mosaic supports neither dynamic_slice (so no
+    # fori_loop-indexed twiddle rows) nor VMEM-stack reuse across the body,
+    # hence the narrow lane blocks chosen by the caller
+    x = [a0[:], a1[:], a2[:], a3[:]]
+    for s in range(levels):
+        a = [xk[:half] for xk in x]
+        b = [xk[half:] for xk in x]
+        w = [jnp.broadcast_to(wk[s][:, None], (half, bt)) for wk in w_all]
+        even = _add_limbs(a, b)
+        diff = _sub_limbs(a, b)
+        odd = _mul_limbs(diff, w)
+        # Pease interleave along the transform (row) axis
+        x = [jnp.stack([even[k], odd[k]], axis=1).reshape(n_leaf, bt)
+             for k in range(4)]
+    o0[:], o1[:], o2[:], o3[:] = x
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _leaf_ntt_planes(planes, w_planes, interpret):
+    """planes: (4, n_leaf, B) limb planes (transform axis 1, batch axis 2);
+    w_planes: (4, levels, n_leaf/2) per-stage twiddle rows -> transformed
+    planes, PEASE (bit-reversed) order along the transform axis."""
+    n_leaf, b = planes.shape[1], planes.shape[2]
+    levels = n_leaf.bit_length() - 1
+    # block sized so the unrolled stages' temporaries fit the 16 MB
+    # scoped-VMEM budget at n_leaf = 1024 (128-wide blocks measured 52 MB)
+    block = min(32, b)
+    assert b % block == 0
+
+    col_spec = pl.BlockSpec(
+        (n_leaf, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec(
+        (levels, n_leaf // 2), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_leaf_ntt_kernel, n_leaf),
+        grid=(b // block,),
+        in_specs=[col_spec] * 4 + [w_spec] * 4,
+        out_specs=[col_spec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((n_leaf, b), jnp.uint32)] * 4,
+        interpret=interpret,
+    )(*[planes[k] for k in range(4)], *[w_planes[k] for k in range(4)])
+    return jnp.stack(outs)
+
+
+def _stage_twiddle_planes(tw):
+    """(n/2, 4) power series -> (4, levels, n/2) per-stage rows (stage s
+    row = the series with each stride-2^s entry repeated 2^s times;
+    mirrors field_jax._stage_twiddles)."""
+    n2 = tw.shape[0]
+    levels = n2.bit_length()
+    rows = [tw]
+    for s in range(1, levels):
+        step = 1 << s
+        rows.append(jnp.reshape(
+            jnp.broadcast_to(tw[::step, :][:, None, :],
+                             (n2 // step, step, 4)), (n2, 4)))
+    stacked = jnp.stack(rows)                  # (levels, n/2, 4)
+    return jnp.transpose(stacked, (2, 0, 1))   # (4, levels, n/2)
+
+
+def leaf_ntt_bm(values, tw, interpret=None):
+    """Drop-in for field_jax._ntt_stages_bm + bit-reversal: (B, n_leaf, 4)
+    batch-major values, tw = (n_leaf/2, 4) root power series -> natural-
+    order NTT along axis 1, computed with every stage fused in VMEM."""
+    from ..math import field_jax as fj
+
+    if interpret is None:
+        interpret = not _on_tpu(values)
+    b, n_leaf = values.shape[0], values.shape[1]
+    planes = jnp.transpose(values, (2, 1, 0))          # (4, n, B)
+    w_planes = _stage_twiddle_planes(tw)
+    out = _leaf_ntt_planes(planes, w_planes, bool(interpret))
+    out = jnp.transpose(out, (2, 1, 0))                # (B, n, 4)
+    rev = fj._bitrev_indices(n_leaf)
+    return out[:, rev]
+
+
+# ------------------------------------------------------------------------------------------------
 # full NTT built from the fused butterfly kernel
 # ------------------------------------------------------------------------------------------------
 

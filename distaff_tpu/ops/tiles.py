@@ -55,6 +55,11 @@ BTILE = int(os.environ.get("DISTAFF_NTT_BTILE", 1 << 9))
 assert TILE & (TILE - 1) == 0 and LEAF & (LEAF - 1) == 0
 assert BTILE & (BTILE - 1) == 0
 
+# DISTAFF_PALLAS_LEAF=1 routes leaf transforms (>= 256 points) through the
+# fused-in-VMEM Pallas kernel (ops/field_pallas.leaf_ntt_bm); values are
+# bit-identical (tests/test_pallas.py)
+_PALLAS_LEAF = os.environ.get("DISTAFF_PALLAS_LEAF", "0") == "1"
+
 
 def _pad_rows(x, multiple):
     """Pad axis 0 of (n, ...) up to a multiple; returns (padded, n)."""
@@ -234,10 +239,19 @@ def _leaf_ntt(values, root_int):
     if rem:
         values = jnp.concatenate(
             [values, jnp.zeros((rem, n, 4), dtype=jnp.uint32)], axis=0)
-    parts = [
-        _leaf_ntt_tile(values[lo : lo + btile], tw, n)
-        for lo in range(0, values.shape[0], btile)
-    ]
+    if _PALLAS_LEAF and n >= 256:
+        # every stage of the transform fused in VMEM: one HBM read+write
+        # for the whole leaf instead of one per butterfly stage
+        from .field_pallas import leaf_ntt_bm
+        parts = [
+            leaf_ntt_bm(values[lo : lo + btile], tw)
+            for lo in range(0, values.shape[0], btile)
+        ]
+    else:
+        parts = [
+            _leaf_ntt_tile(values[lo : lo + btile], tw, n)
+            for lo in range(0, values.shape[0], btile)
+        ]
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     return out[:b]
 

@@ -23,9 +23,16 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# per-machine cache dir: a cache written by a different builder machine can
+# SEGV on load (XLA:CPU AOT executables embed host CPU features)
+import sys  # noqa: E402
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+from distaff_tpu.jax_setup import machine_cache_dir  # noqa: E402
+
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                 str(pathlib.Path(__file__).resolve().parent.parent / ".jax_cache")))
+                                 machine_cache_dir()))
 try:
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 except RuntimeError:

@@ -28,3 +28,25 @@ def test_ntt_pallas_matches_jnp():
     x = fj.from_ints([rng.randrange(field.M) for _ in range(256)])
     got = fp.ntt_pallas(x)
     assert (np.asarray(got) == np.asarray(fj.ntt(x))).all()
+
+
+def test_leaf_ntt_bm_matches_stages():
+    # the fused-in-VMEM multi-stage leaf kernel (interpret mode on CPU)
+    # must reproduce the XLA Pease stages + bit-reversal exactly
+    import random
+
+    import numpy as np
+
+    from distaff_tpu.math import field, field_jax as fj
+    from distaff_tpu.ops import field_pallas as fp
+
+    for n, b in [(16, 8), (256, 2), (1024, 1)]:
+        rng = random.Random(n + b)
+        cols = np.array(
+            [[rng.randrange(field.M) for _ in range(n)] for _ in range(b)],
+            dtype=object)
+        x = fj.from_ints(cols)
+        tw = fj.power_series(field.get_root_of_unity(n), n // 2)
+        got = fp.leaf_ntt_bm(x, tw, interpret=True)
+        want = fj._ntt_stages_bm(x, tw)[:, fj._bitrev_indices(n)]
+        assert (np.asarray(got) == np.asarray(want)).all(), (n, b)

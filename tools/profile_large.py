@@ -11,8 +11,9 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+from distaff_tpu.jax_setup import machine_cache_dir
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", machine_cache_dir())
 
 import jax  # noqa: E402
 
