@@ -128,7 +128,7 @@ def test_jax_col_int_coercion_and_mod():
     assert list(fj.to_ints(np.asarray(r.arr))) == [(7 * v) % M for v in vals]
 
 
-@pytest.mark.parametrize("src,inputs", PROGRAMS[:2])
+@pytest.mark.parametrize("src,inputs", PROGRAMS[:1])
 def test_device_transition_matches_host(src, inputs):
     """The device AIR path (device_eval._transition_kernel - the kernel that
     actually runs on TPU) must produce the exact combined transition column
