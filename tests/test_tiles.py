@@ -39,8 +39,21 @@ def test_scale_matches():
     assert (got == want).all()
 
 
+@pytest.fixture
+def _no_compile_cache():
+    # the q=200 fold executable deterministically SEGFAULTS the persistent
+    # compilation cache's (de)serialization path on CPU (observed on both
+    # the read and the write side; every other kernel round-trips fine) -
+    # keep this one test's compiles out of the cache
+    import jax
+
+    jax.config.update("jax_enable_compilation_cache", False)
+    yield
+    jax.config.update("jax_enable_compilation_cache", True)
+
+
 @pytest.mark.parametrize("q", [4, 64, 200])
-def test_fold_rows_matches(q):
+def test_fold_rows_matches(q, _no_compile_cache):
     rng = random.Random(q)
     ys = fj.from_ints(np.array(
         [[rng.randrange(field.M) for _ in range(4)] for _ in range(q)],
