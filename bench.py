@@ -154,15 +154,18 @@ def main():
         assert distaff_tpu.verify(
             program.hash, inputs.get_public_inputs(), outputs, proof)
 
-        # steady-state timing: re-run if the budget affords it, otherwise
-        # report the warm-up time (pessimistic: includes compilation)
-        if _remaining() > 1.5 * warm:
+        # record the warm-up measurement immediately (so the watchdog can
+        # never lose this rung), then overwrite with a steady-state re-run
+        # whenever any budget remains - steady time is always <= warm time
+        # and typically seconds even when warm-up paid minutes of one-time
+        # bring-up + compiles
+        elapsed = warm
+        _record(log2_trace, elapsed, warm)
+        if _remaining() > 30.0:
             t0 = time.time()
             outputs, proof = distaff_tpu.execute(program, inputs, 1, options)
             elapsed = time.time() - t0
-        else:
-            elapsed = warm
-        _record(log2_trace, elapsed, warm)
+            _record(log2_trace, elapsed, warm)
         prev_warm = min(warm, 3.0 * elapsed)
 
     _done.set()
