@@ -44,15 +44,19 @@ def _no_compile_cache():
     # the q=200 fold executable deterministically SEGFAULTS the persistent
     # compilation cache's (de)serialization path on CPU (observed on both
     # the read and the write side; every other kernel round-trips fine) -
-    # keep this one test's compiles out of the cache
+    # keep this one test's compiles out of the cache.  is_cache_used is
+    # memoized process-wide, so the flag flip needs reset_cache() to stick.
     import jax
+    from jax._src import compilation_cache as cc
 
     jax.config.update("jax_enable_compilation_cache", False)
+    cc.reset_cache()
     yield
     jax.config.update("jax_enable_compilation_cache", True)
+    cc.reset_cache()
 
 
-@pytest.mark.parametrize("q", [4, 64, 200])
+@pytest.mark.parametrize("q", [4, 300])  # 300 > TILE exercises the tile loop
 def test_fold_rows_matches(q, _no_compile_cache):
     rng = random.Random(q)
     ys = fj.from_ints(np.array(
