@@ -123,11 +123,17 @@ def main():
     elif on_cpu:
         sizes = [10, 12, 14]
     else:
-        # first rung small: the one-time bring-up (100-450 s, variance is
-        # the pool's, not ours) plus the first proof's glue compiles must
-        # land SOME measurement inside the driver deadline; later rungs
-        # only pay their own per-geometry glue
-        sizes = [10, 12, 14, 16, 18, 20]
+        # start the ladder at the TOP half: the geometry-stable kernels mean
+        # 2^16 already exercises every executable the big rungs need, so one
+        # 2^16 probe absorbs the one-time bring-up + cache loads and
+        # guarantees a measurement, then the budget goes to the headline
+        # rungs (2^18, 2^20 - reference README.md:156-157) instead of being
+        # spent bottom-up (round-3 failure mode: five small rungs ate the
+        # deadline and 2^20 was never attempted).  The persistent compile
+        # cache (.jax_cache_tpu, unsalted: TPU executables are machine-
+        # independent) is pre-warmed for these geometries by
+        # tools/warm_cache.py, so warm-up ~ steady-state here.
+        sizes = [16, 18, 20]
 
     import distaff_tpu
     from distaff_tpu import assembly, ProgramInputs, ProofOptions
@@ -135,38 +141,55 @@ def main():
     inputs = ProgramInputs.from_public([1, 0])
     options = ProofOptions()  # default: ext 32, 50 queries, grind 20 (120-bit)
 
-    prev_warm = None
+    def predicted_cost(elapsed):
+        # next rung = 4x the data (~4-5x the time) plus a cache-load buffer
+        return 5.0 * elapsed + 60.0
+
+    prev_elapsed = None
     for i, log2_trace in enumerate(sizes):
-        if i > 0:
-            # conservative cost model for the next rung: ~4x the data, plus
-            # a fresh-geometry compile buffer when the cache may be cold
-            predicted = 5.0 * prev_warm + 30.0
-            if _remaining() < predicted:
-                print(f"# skipping 2^{log2_trace}: predicted {predicted:.0f}s"
-                      f" > remaining {_remaining():.0f}s", file=sys.stderr)
-                break
+        if i > 0 and _remaining() < predicted_cost(prev_elapsed):
+            print(f"# skipping 2^{log2_trace}: predicted "
+                  f"{predicted_cost(prev_elapsed):.0f}s > remaining "
+                  f"{_remaining():.0f}s", file=sys.stderr)
+            break
 
-        program = fibonacci_program(assembly, log2_trace)
-        t0 = time.time()
-        outputs, proof = distaff_tpu.execute(program, inputs, 1, options)
-        warm = time.time() - t0
-        assert proof.trace_length() == 1 << log2_trace, proof.trace_length()
-        assert distaff_tpu.verify(
-            program.hash, inputs.get_public_inputs(), outputs, proof)
-
-        # record the warm-up measurement immediately (so the watchdog can
-        # never lose this rung), then overwrite with a steady-state re-run
-        # whenever any budget remains - steady time is always <= warm time
-        # and typically seconds even when warm-up paid minutes of one-time
-        # bring-up + compiles
-        elapsed = warm
-        _record(log2_trace, elapsed, warm)
-        if _remaining() > 30.0:
+        try:
+            program = fibonacci_program(assembly, log2_trace)
             t0 = time.time()
             outputs, proof = distaff_tpu.execute(program, inputs, 1, options)
-            elapsed = time.time() - t0
-            _record(log2_trace, elapsed, warm)
-        prev_warm = min(warm, 3.0 * elapsed)
+            warm = time.time() - t0
+            assert proof.trace_length() == 1 << log2_trace, proof.trace_length()
+            assert distaff_tpu.verify(
+                program.hash, inputs.get_public_inputs(), outputs, proof)
+        except BaseException as exc:  # noqa: BLE001 - keep the best-so-far
+            import traceback
+            traceback.print_exc()
+            print(f"# rung 2^{log2_trace} failed: {exc!r}; keeping best-so-far",
+                  file=sys.stderr)
+            break
+
+        # record the warm-up measurement immediately (the watchdog can then
+        # never lose this rung), then overwrite with a steady-state re-run
+        # when the budget allows - steady <= warm, and with a pre-warmed
+        # persistent cache warm ~ steady anyway.  The re-run must not eat
+        # the next rung's budget: prefer ATTEMPTING 2^20 over polishing
+        # 2^18 (round-3 failure mode), except when the next rung is already
+        # infeasible - then the re-run is the best remaining use of time.
+        elapsed = warm
+        _record(log2_trace, elapsed, warm)
+        next_feasible = (
+            i + 1 < len(sizes) and _remaining() - 1.2 * warm > predicted_cost(elapsed))
+        last_rung = i + 1 >= len(sizes) or not next_feasible
+        if (next_feasible and _remaining() - 1.2 * warm > predicted_cost(elapsed)) \
+                or (last_rung and _remaining() > 30.0):
+            try:
+                t0 = time.time()
+                outputs, proof = distaff_tpu.execute(program, inputs, 1, options)
+                elapsed = time.time() - t0
+                _record(log2_trace, elapsed, warm)
+            except BaseException:  # noqa: BLE001
+                break
+        prev_elapsed = elapsed
 
     _done.set()
     _emit_and_exit(0)

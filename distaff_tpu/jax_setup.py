@@ -24,16 +24,14 @@ DEFAULT_CACHE_BASE = os.path.join(
 
 
 def machine_cache_dir(base=None):
-    """Per-machine compilation-cache directory.
+    """Per-machine compilation-cache directory (CPU processes only).
 
     XLA:CPU AOT executables embed the build host's CPU features; loading an
     entry written by a different machine can execute unsupported
     instructions (observed: SIGSEGV inside the cache read when this repo
     directory moved between builder machines).  Salting the directory with
     a CPU-feature fingerprint makes a foreign cache invisible instead of
-    fatal.  (TPU entries are compiled server-side and machine-independent,
-    but they share the process cache dir, so they get salted too - the cost
-    is a one-time re-warm per machine.)"""
+    fatal."""
     base = base or DEFAULT_CACHE_BASE
     try:
         with open("/proc/cpuinfo") as fh:
@@ -45,17 +43,47 @@ def machine_cache_dir(base=None):
     return f"{base}_{fp}"
 
 
+def tpu_cache_dir(base=None):
+    """Unsalted cache directory for TPU processes.
+
+    TPU executables are compiled server-side and are machine-independent,
+    so a cache warmed by one build machine must stay visible to the next
+    (the machines hosting this repo rotate; a per-machine salt forced every
+    fresh machine - including the bench driver's - to re-pay minutes of
+    tunneled compiles).  TPU-mode processes never jit on the CPU backend
+    (the only CPU-device use, parallel/mesh.py, is for CPU-platform virtual
+    meshes), so the CPU-AOT foreign-machine hazard above does not apply."""
+    return (base or DEFAULT_CACHE_BASE) + "_tpu"
+
+
 def configure():
     global _CONFIGURED
     if _CONFIGURED:
         return
     _CONFIGURED = True
 
-    cache_dir = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR", machine_cache_dir())
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
-
     import jax
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if cache_dir is None:
+        # pick the dir by what the process can COMPILE: the unsalted
+        # (machine-portable) dir only when every executable will be a
+        # server-side TPU one - no CPU platform request, no virtual CPU
+        # devices, and no mesh that could fall back to CPU devices
+        # (parallel/mesh.py:49); anything that might emit an XLA:CPU AOT
+        # executable uses the CPU-feature-salted dir
+        tpu_only = (
+            os.environ.get("JAX_PLATFORMS") != "cpu"
+            and "xla_force_host_platform_device_count"
+            not in os.environ.get("XLA_FLAGS", "")
+            and int(os.environ.get("DISTAFF_MESH_DEVICES", "0") or 0) <= 1)
+        if tpu_only:
+            try:
+                tpu_only = jax.default_backend() != "cpu"
+            except RuntimeError:  # pragma: no cover - no backend at all
+                tpu_only = False
+        cache_dir = tpu_cache_dir() if tpu_only else machine_cache_dir()
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
 
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -87,13 +87,12 @@ class Evaluator:
         self.stack.evaluate_at(current, next_state, x, s)
         return self._combine_transition(evaluations, lambda p: field.exp(x, p))
 
-    def evaluate_transition_columns(self, current, next_state, xp_lookup):
-        """Columnar evaluation over the whole evaluation domain.
-
-        xp_lookup(p) must return the column of x^p over the domain.
-        Returns the combined column.  Periodic ark/mask constants become
-        tiled columns over the domain.
-        """
+    def evaluate_transition_individual(self, current, next_state):
+        """Per-constraint (uncombined) transition evaluation columns over the
+        whole evaluation domain.  Periodic ark/mask constants become tiled
+        columns over the domain.  Used by the columnar sweep (combined below)
+        and by the debug-mode per-constraint degree validation (reference
+        src/stark/constraints/evaluator.rs:360-380)."""
         n = self.domain_size
         cyc = self.decoder.cycle_length
         reps = n // cyc
@@ -111,7 +110,22 @@ class Evaluator:
         s = _ResultView(evaluations, self.decoder.constraint_count(), self.t_constraint_num)
         self.decoder.evaluate_columns(current, next_state, dec_ark, dec_masks, d)
         self.stack.evaluate_columns(current, next_state, stk_ark, s)
+        return evaluations
+
+    def evaluate_transition_columns(self, current, next_state, xp_lookup):
+        """Columnar evaluation over the whole evaluation domain.
+
+        xp_lookup(p) must return the column of x^p over the domain.
+        Returns the combined column.
+        """
+        evaluations = self.evaluate_transition_individual(current, next_state)
         return self._combine_transition(evaluations, xp_lookup)
+
+    def transition_degrees(self):
+        """Declared per-constraint degrees, decoder then stack (reference
+        evaluator.rs:376-380 get_transition_degrees)."""
+        return (list(self.decoder.constraint_degrees)
+                + list(self.stack.constraint_degrees))
 
     def _combine_transition(self, evaluations, xp_lookup):
         cc = self.coefficients.transition

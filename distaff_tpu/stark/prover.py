@@ -56,6 +56,8 @@ def prove(trace, inputs, outputs, options):
     now = time.time()
     evaluator = Evaluator.from_trace(trace, trace_tree.root(), inputs, outputs)
     i_evals, f_evals, t_evals = _evaluate_constraints_columnar(evaluator, trace)
+    if os.environ.get("DISTAFF_DEBUG", "0") != "0":
+        _validate_transition_degrees(evaluator, trace)
     log.debug("Evaluated %d constraints over domain of %d elements in %.0f ms",
               evaluator.constraint_count(), evaluator.domain_size, (time.time() - now) * 1000)
 
@@ -232,6 +234,49 @@ def _evaluate_constraints_columnar(evaluator, trace, debug_check=True):
         assert len(bad) == 0, f"transition constraints not satisfied at step {bad[:3]}"
 
     return i_evals, f_evals, t_evals
+
+
+def _validate_transition_degrees(evaluator, trace):
+    """Debug-mode per-constraint degree validation (reference
+    src/stark/constraints/constraint_table.rs:90-112, evaluator.rs:360-380):
+    evaluate every transition constraint individually over D_ev, interpolate
+    each column, and assert its actual degree does not exceed the declared
+    degree x (trace_length - 1).  A mis-declared degree breaks the soundness
+    accounting (the degree-adjustment groups), so this is the de-facto AIR
+    soundness harness."""
+    from ..math import polynom
+
+    stride = trace.extension_factor // MAX_CONSTRAINT_DEGREE
+    if trace.streaming:
+        trace_u32 = np.ascontiguousarray(np.asarray(trace.lde_stride_dev))
+    else:
+        trace_u32 = np.ascontiguousarray(np.asarray(trace.lde_dev[:, ::stride, :]))
+
+    obj = trace_u32.astype(object)
+    columns = [
+        obj[i, :, 0] | (obj[i, :, 1] << 32) | (obj[i, :, 2] << 64) | (obj[i, :, 3] << 96)
+        for i in range(trace_u32.shape[0])
+    ]
+    current = TraceState.from_vec(
+        trace.ctx_depth, trace.loop_depth, trace.stack_depth, columns)
+    next_cols = [np.roll(c, -MAX_CONSTRAINT_DEGREE) for c in columns]
+    next_state = TraceState.from_vec(
+        trace.ctx_depth, trace.loop_depth, trace.stack_depth, next_cols)
+
+    evaluations = evaluator.evaluate_transition_individual(current, next_state)
+    declared = evaluator.transition_degrees()
+    trace_degree = evaluator.trace_length - 1
+    n_ev = evaluator.domain_size
+    actual = []
+    for col in evaluations:
+        if isinstance(col, int):
+            col = np.full(n_ev, col, dtype=object)
+        actual.append(polynom.infer_degree([int(v) for v in col]))
+    bad = [(i, declared[i] * trace_degree, actual[i])
+           for i in range(len(declared)) if actual[i] > declared[i] * trace_degree]
+    assert not bad, (
+        "constraint degrees didn't match (constraint, expected_max, actual): "
+        f"{bad[:5]}")
 
 
 def jax_disable_jit_active():

@@ -52,6 +52,22 @@ def test_debug_degree_validation(monkeypatch):
     assert distaff_tpu.verify(program.hash, inputs.get_public_inputs(), outputs, proof)
 
 
+def test_misdeclared_degree_caught(monkeypatch):
+    # the per-constraint degree validation (reference
+    # constraint_table.rs:90-112) must reject a deliberately under-declared
+    # degree: the active constraints' actual degrees then exceed it
+    monkeypatch.setenv("DISTAFF_DEBUG", "1")
+    from distaff_tpu.stark.constraints.evaluator import Evaluator
+
+    real = Evaluator.transition_degrees
+    monkeypatch.setattr(
+        Evaluator, "transition_degrees", lambda self: [0] * len(real(self)))
+    program = assembly.compile("begin push.3 push.5 add end")
+    options = ProofOptions(extension_factor=16, num_queries=10, grinding_factor=2)
+    with pytest.raises(AssertionError, match="constraint degrees"):
+        distaff_tpu.execute(program, ProgramInputs.none(), 1, options)
+
+
 def test_sharded_dryrun():
     # virtual multi-device mesh comes from conftest's XLA_FLAGS
     import jax

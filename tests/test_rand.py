@@ -32,6 +32,54 @@ def test_stdrng_u64_stream():
     assert rng.next_u64() == (block4[1] << 32) | block4[0]
 
 
+# Known-answer keystreams generated with OpenSSL 3.0 (via the `cryptography`
+# package's ChaCha20, IV = 64-bit little-endian block counter || 64-bit zero
+# nonce) - an implementation independent of this repo.  rand 0.7's
+# StdRng::from_seed(seed) is ChaCha20Rng (rand_chacha 0.2): the same DJB-
+# variant keystream with the seed as key, so StdRng's u32 output stream must
+# equal these words exactly (128 bytes = 2 blocks; the BlockRng buffer holds
+# 4, so this also pins the buffering order).
+_OPENSSL_KEYSTREAMS = {
+    bytes(range(32)): (
+        "39fd2b7dd9c5196a8dbd0377b8dc4a498a35d86fbcde6accb2cc7d4cd8ea2492"
+        "2b23cce7a26023ab3f0eef693ac87f64258235eab1f7a32dc22762a0485b410c"
+        "18b84231ade6a6d113615c61af434e27f8b1f3f5e1ad5b5cecf8fc122a35755c"
+        "7208086dd1ee3c5d9d815824640e003c9ba0f65ede5d59ce0d2a4a7f31955acd"
+    ),
+    bytes.fromhex("d9" * 32): (
+        "e1b308f26d813f34ed9dab78fcedc14c978dac16b34f8114fad96828052b6319"
+        "9a1ffc89433dfec995f614b84e91de04e669fbbe4f571a2422dd9d38e1e72177"
+        "7ed8a2dc4e531595e6ce76cda7f5f539fb88b1106946a1520376b295735e31de"
+        "d11485702e0f1f036b2f7ffddd4a32adaa721156bf7e10f97aae8249e8c3fead"
+    ),
+}
+
+
+def test_stdrng_openssl_keystreams():
+    for seed, expected_hex in _OPENSSL_KEYSTREAMS.items():
+        rng = StdRng(seed)
+        stream = b"".join(rng.next_u32().to_bytes(4, "little") for _ in range(32))
+        assert stream.hex() == expected_hex, seed.hex()
+
+
+def test_stdrng_vs_openssl_live():
+    # cross-check against the OpenSSL-backed `cryptography` package across a
+    # BlockRng refill boundary (320 bytes = 5 blocks > the 4-block buffer)
+    try:
+        from cryptography.hazmat.primitives.ciphers import Cipher, algorithms
+    except ImportError:  # pragma: no cover
+        import pytest
+
+        pytest.skip("cryptography not available")
+    for seed in (b"\x00" * 32, bytes(range(32)), bytes.fromhex("ab" * 32)):
+        enc = Cipher(
+            algorithms.ChaCha20(seed, b"\x00" * 16), mode=None).encryptor()
+        expected = enc.update(b"\x00" * 320)
+        rng = StdRng(seed)
+        ours = b"".join(rng.next_u32().to_bytes(4, "little") for _ in range(80))
+        assert ours == expected
+
+
 def test_prng_properties():
     seed = bytes(range(32))
     v1 = prng(seed, field.M)

@@ -17,14 +17,12 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
-from distaff_tpu.jax_setup import machine_cache_dir
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", machine_cache_dir())
+from distaff_tpu import jax_setup
+jax_setup.configure()
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 from distaff_tpu.math import field, field_jax as fj  # noqa: E402
 from distaff_tpu.ops import field_pallas as fp  # noqa: E402

@@ -12,13 +12,10 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
-from distaff_tpu.jax_setup import machine_cache_dir
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", machine_cache_dir())
+from distaff_tpu import jax_setup
+jax_setup.configure()
 
 import jax  # noqa: E402
-
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 import distaff_tpu  # noqa: E402
 from distaff_tpu import assembly, ProgramInputs, ProofOptions  # noqa: E402
