@@ -16,6 +16,7 @@ import os
 import platform
 
 _CONFIGURED = False
+_DISTRIBUTED = False
 
 # Repo-local so the warmed cache survives anything that clears /tmp between
 # proving sessions (gitignored).
@@ -56,11 +57,49 @@ def tpu_cache_dir(base=None):
     return (base or DEFAULT_CACHE_BASE) + "_tpu"
 
 
+def initialize_distributed():
+    """Multi-host entry point: join a `jax.distributed` job when requested.
+
+    SPMD proving across hosts (reference has no analogue - its concurrency
+    stops at crossbeam threads, src/math/parallel.rs) rides the standard JAX
+    runtime: every host runs the same prover script, the mesh spans all
+    hosts' devices, and XLA routes collectives over ICI within a slice and
+    DCN across slices.  Activation, any ONE of:
+
+      DISTAFF_COORDINATOR=host:port  DISTAFF_NUM_PROCESSES=N  DISTAFF_PROCESS_ID=K
+        explicit rendezvous (mirrors jax.distributed.initialize arguments)
+      DISTAFF_DISTRIBUTED=1
+        auto-detection (TPU pod metadata / cluster env), i.e.
+        jax.distributed.initialize() with no arguments
+
+    Returns True when distributed mode was initialized."""
+    global _DISTRIBUTED
+    if _DISTRIBUTED:
+        return True
+    coord = os.environ.get("DISTAFF_COORDINATOR")
+    auto = os.environ.get("DISTAFF_DISTRIBUTED") == "1"
+    if not coord and not auto:
+        return False
+    import jax
+
+    _DISTRIBUTED = True
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["DISTAFF_NUM_PROCESSES"]),
+            process_id=int(os.environ["DISTAFF_PROCESS_ID"]))
+    else:
+        jax.distributed.initialize()
+    return True
+
+
 def configure():
     global _CONFIGURED
     if _CONFIGURED:
         return
     _CONFIGURED = True
+
+    initialize_distributed()
 
     import jax
 

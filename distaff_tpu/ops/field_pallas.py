@@ -284,9 +284,11 @@ def _leaf_ntt_planes(planes, w_planes, interpret):
     planes, PEASE (bit-reversed) order along the transform axis."""
     n_leaf, b = planes.shape[1], planes.shape[2]
     levels = n_leaf.bit_length() - 1
-    # block sized so the unrolled stages' temporaries fit the 16 MB
-    # scoped-VMEM budget at n_leaf = 1024 (128-wide blocks measured 52 MB)
-    block = min(32, b)
+    # Mosaic requires the lane (last) block dim be a multiple of 128 or the
+    # whole axis; the unrolled stages' temporaries at 128 lanes x n_leaf=1024
+    # measure ~52 MB of scoped VMEM, which fits v5e's 128 MB budget once the
+    # default conservative limit is raised below
+    block = min(128, b)
     assert b % block == 0
 
     col_spec = pl.BlockSpec(
@@ -299,6 +301,8 @@ def _leaf_ntt_planes(planes, w_planes, interpret):
         in_specs=[col_spec] * 4 + [w_spec] * 4,
         out_specs=[col_spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((n_leaf, b), jnp.uint32)] * 4,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*[planes[k] for k in range(4)], *[w_planes[k] for k in range(4)])
     return jnp.stack(outs)

@@ -45,31 +45,45 @@ _INV_K = [
 ]
 
 
-def _fold_rows_impl(ys, x0, special_x):
+def _limb_const(v):
+    return jnp.array(
+        [(int(v) >> (32 * k)) & 0xFFFFFFFF for k in range(4)], dtype=jnp.uint32)
+
+
+def _fold_rows_impl(ys, x0, inv_x0_cubed, special_x):
     """ys: (q, 4, 4limbs) rows; x0: (q, 4limbs) first-column nodes;
-    special_x: (4,) limbs -> (q, 4limbs)."""
+    inv_x0_cubed: (q, 4limbs) = x0^-3; special_x: (4,) limbs -> (q, 4limbs).
+
+    The x0 nodes are root-of-unity powers w^i, so their inverse cubes are
+    the power series of w^-3 - the caller supplies them directly (one extra
+    power series per proof, strided per layer) instead of a 127-deep Fermat
+    inversion chain here (measured ~25 ms of sequential squarings per fold
+    tile).
+
+    Independent multiplies are batched into stacked single call sites (one
+    traced modmul over a (k, q, 4) stack instead of k separate modmul
+    graphs): each fj.mul inlines ~400 scalar ops of limb arithmetic, and
+    the fully unrolled 15-site version took minutes of XLA:CPU compile."""
+    q = x0.shape[0]
     sx = jnp.broadcast_to(special_x, x0.shape)
 
-    # node coordinates x_j = x0 * I^j (I^0 = 1)
-    xj = [x0] + [fj.mul_scalar(x0, _C[j]) for j in (1, 2, 3)]
-    d = [fj.sub(sx, xj[j]) for j in range(4)]
+    # node coordinates x_j = x0 * I^j, all three scalar muls in one site
+    c_stack = jnp.stack([_limb_const(_C[j]) for j in (1, 2, 3)])  # (3, 4)
+    xj123 = fj.mul(jnp.broadcast_to(x0[None], (3, q, 4)),
+                   jnp.broadcast_to(c_stack[:, None, :], (3, q, 4)))
+    xj = jnp.concatenate([x0[None], xj123])                       # (4, q, 4)
+    d = fj.sub(jnp.broadcast_to(sx[None], (4, q, 4)), xj)
 
-    # numerators N_k = prod_{j != k} (sx - x_j)
-    d01 = fj.mul(d[0], d[1])
-    d23 = fj.mul(d[2], d[3])
-    n0 = fj.mul(d[1], d23)
-    n1 = fj.mul(d[0], d23)
-    n2 = fj.mul(d01, d[3])
-    n3 = fj.mul(d01, d[2])
+    # pair products, then numerators N_k = prod_{j != k} (sx - x_j)
+    p = fj.mul(jnp.stack([d[0], d[2]]), jnp.stack([d[1], d[3]]))
+    d01, d23 = p[0], p[1]
+    n = fj.mul(jnp.stack([d[1], d[0], d01, d01]),
+               jnp.stack([d23, d23, d[3], d[2]]))                 # (4, q, 4)
 
-    # 1 / D_k = inv(x0)^3 * (1 / K_k)
-    inv_x0 = fj.inv_batch(x0)
-    inv_x0_cubed = fj.mul(fj.sqr(inv_x0), inv_x0)
-
-    acc = fj.mul_scalar(fj.mul(ys[:, 0, :], n0), _INV_K[0])
-    acc = fj.add(acc, fj.mul_scalar(fj.mul(ys[:, 1, :], n1), _INV_K[1]))
-    acc = fj.add(acc, fj.mul_scalar(fj.mul(ys[:, 2, :], n2), _INV_K[2]))
-    acc = fj.add(acc, fj.mul_scalar(fj.mul(ys[:, 3, :], n3), _INV_K[3]))
+    invk = jnp.stack([_limb_const(k) for k in _INV_K])            # (4, 4)
+    yn = fj.mul(ys.transpose(1, 0, 2), n)
+    ynk = fj.mul(yn, jnp.broadcast_to(invk[:, None, :], (4, q, 4)))
+    acc = fj.add(fj.add(ynk[0], ynk[1]), fj.add(ynk[2], ynk[3]))
     return fj.mul(acc, inv_x0_cubed)
 
 

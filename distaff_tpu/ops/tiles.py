@@ -55,10 +55,23 @@ BTILE = int(os.environ.get("DISTAFF_NTT_BTILE", 1 << 9))
 assert TILE & (TILE - 1) == 0 and LEAF & (LEAF - 1) == 0
 assert BTILE & (BTILE - 1) == 0
 
-# DISTAFF_PALLAS_LEAF=1 routes leaf transforms (>= 256 points) through the
+# DISTAFF_PALLAS_LEAF routes leaf transforms (>= 256 points) through the
 # fused-in-VMEM Pallas kernel (ops/field_pallas.leaf_ntt_bm); values are
-# bit-identical (tests/test_pallas.py)
-_PALLAS_LEAF = os.environ.get("DISTAFF_PALLAS_LEAF", "0") == "1"
+# bit-identical (tests/test_pallas.py).  "auto" (default): Pallas on real
+# accelerators (measured 3x the XLA stage-at-a-time path, KERNELS_r03),
+# XLA on CPU (the Pallas interpreter is far slower there); "1"/"0" force.
+_PALLAS_LEAF = os.environ.get("DISTAFF_PALLAS_LEAF", "auto")
+
+
+def _pallas_leaf_enabled(values):
+    if _PALLAS_LEAF == "1":
+        return True
+    if _PALLAS_LEAF == "0":
+        return False
+    try:
+        return next(iter(values.devices())).platform != "cpu"
+    except Exception:  # tracers / non-array inputs: stay on the XLA path
+        return False
 
 
 def _pad_rows(x, multiple):
@@ -82,21 +95,32 @@ def _ps_tile(base, prefix):
     return fj.mul(ps, jnp.broadcast_to(prefix, (TILE, 4)))
 
 
+@jax.jit
+def _ps_tiles_batched(base, prefixes):
+    """prefixes[t] * [base^0 .. base^(TILE-1)] for every tile t in ONE
+    dispatch: (T, 4) -> (T, TILE, 4).  Host->device transfers over the
+    tunneled TPU cost ~25 ms EACH in latency; per-tile prefix constants
+    made long power series latency-bound (measured 434 ms for 2^19 rows in
+    8 tiles), so all prefixes arrive in one transfer instead."""
+    ps = fj.power_series_dev(base, TILE)
+    t = prefixes.shape[0]
+    return fj.mul(jnp.broadcast_to(ps[None], (t, TILE, 4)), prefixes[:, None, :])
+
+
 def power_series(x_int, n):
     """[x^0 .. x^(n-1)] as an (n, 4) device array via fixed-size tiles.
 
-    The per-tile prefix x^lo is a host pow() - the base is always
-    host-known (roots of unity, transcript draws)."""
+    The tile prefixes x^lo are host pow()s - the base is always host-known
+    (roots of unity, transcript draws) - shipped as one (T, 4) transfer."""
     x_int = int(x_int) % M
     if n <= 0:
         return fj.zeros((0,))
-    base = fj.constant(x_int)
-    tiles = []
-    for lo in range(0, n, TILE):
-        prefix = fj.constant(pow(x_int, lo, M))
-        tiles.append(_ps_tile(base, prefix))
-    out = tiles[0] if len(tiles) == 1 else jnp.concatenate(tiles)
-    return out[:n]
+    if n <= TILE:
+        return _ps_tile(fj.constant(x_int), fj.constant(1))[:n]
+    prefixes = np.array(
+        [pow(x_int, lo, M) for lo in range(0, n, TILE)], dtype=object)
+    out = _ps_tiles_batched(fj.constant(x_int), fj.from_ints(prefixes))
+    return out.reshape(-1, 4)[:n]
 
 
 # ------------------------------------------------------------------------------------------------
@@ -123,12 +147,12 @@ def scale(values, c_int):
 # ------------------------------------------------------------------------------------------------
 
 @jax.jit
-def _fold_tile(ys, x0, special_x):
+def _fold_tile(ys, x0, inv_x0_cubed, special_x):
     from .fri_jax import _fold_rows_impl
-    return _fold_rows_impl(ys, x0, special_x)
+    return _fold_rows_impl(ys, x0, inv_x0_cubed, special_x)
 
 
-def fold_rows(ys, x0, special_x):
+def fold_rows(ys, x0, inv_x0_cubed, special_x):
     """ops.fri_jax.fold_rows with the row axis tiled: (q, 4, 4) x (q, 4)
     -> (q, 4) using one fixed (TILE, ...) kernel for every layer size of
     every proof.  Padding rows fold to garbage and are sliced off."""
@@ -137,7 +161,9 @@ def fold_rows(ys, x0, special_x):
         return fj.zeros((0,))
     ys_p, _ = _pad_rows(ys, TILE)
     x0_p, _ = _pad_rows(x0, TILE)
-    parts = [_fold_tile(ys_p[lo : lo + TILE], x0_p[lo : lo + TILE], special_x)
+    ix_p, _ = _pad_rows(inv_x0_cubed, TILE)
+    parts = [_fold_tile(ys_p[lo : lo + TILE], x0_p[lo : lo + TILE],
+                        ix_p[lo : lo + TILE], special_x)
              for lo in range(0, ys_p.shape[0], TILE)]
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
     return out[:q]
@@ -239,7 +265,7 @@ def _leaf_ntt(values, root_int):
     if rem:
         values = jnp.concatenate(
             [values, jnp.zeros((rem, n, 4), dtype=jnp.uint32)], axis=0)
-    if _PALLAS_LEAF and n >= 256:
+    if n >= 256 and _pallas_leaf_enabled(values):
         # every stage of the transform fused in VMEM: one HBM read+write
         # for the whole leaf instead of one per butterfly stage
         from .field_pallas import leaf_ntt_bm
@@ -297,14 +323,19 @@ def _apply_twiddles(bv, root_int, n1, n2, b):
     btwid = min(btwid, 1 << max(b - 1, 0).bit_length())
     bases = fj.from_ints(
         np.array([pow(w, r, M) for r in range(rg)], dtype=object))
+    # all row-group prefixes w^lo in ONE transfer (a per-group fj.constant
+    # costs a tunnel round trip each; deep recursion levels have dozens of
+    # groups) - sliced on device inside the loop
+    prefixes = fj.from_ints(np.array(
+        [pow(w, lo, M) for lo in range(0, n1, rg)], dtype=object))
     x = bv
     rem = (-b) % btwid
     if rem:
         x = jnp.concatenate(
             [x, jnp.zeros((rem,) + x.shape[1:], dtype=jnp.uint32)], axis=0)
     row_parts = []
-    for lo in range(0, n1, rg):
-        prefix = fj.constant(pow(w, lo, M))
+    for gi, lo in enumerate(range(0, n1, rg)):
+        prefix = prefixes[gi]
         cols = [
             _twiddle_tile(x[c : c + btwid, lo : lo + rg], bases, prefix, n2)
             for c in range(0, x.shape[0], btwid)

@@ -67,7 +67,8 @@ def transition_sharded(evaluator, trace, mesh, debug_check=True):
     from ..config import MAX_CONSTRAINT_DEGREE
 
     stride = trace.extension_factor // MAX_CONSTRAINT_DEGREE
-    lde = trace.lde_dev[:, ::stride, :]
+    lde = (trace.lde_stride_dev if trace.streaming
+           else trace.lde_dev[:, ::stride, :])
     n_ev = lde.shape[1]
 
     dec_ark, dec_masks, stk_ark, xp_bases_dev = _device_constants(evaluator)
@@ -112,7 +113,9 @@ def boundaries_sharded(evaluator, trace, stride, mesh):
     """Weighted register sums + x^adj degree adjustment, rows sharded
     (mesh analogue of prover._evaluate_boundaries_device)."""
     n_ev = evaluator.domain_size
-    lde = jax.device_put(trace.lde_dev[:, ::stride, :], rows3(mesh))
+    lde = (trace.lde_stride_dev if trace.streaming
+           else trace.lde_dev[:, ::stride, :])
+    lde = jax.device_put(lde, rows3(mesh))
     _record("boundaries", lde)
     r_ev = field.get_root_of_unity(n_ev)
     xp_base = fj.constant(field.exp(r_ev, evaluator.b_degree_adj))
@@ -151,8 +154,11 @@ def _compose_full(a1, a2, c_lde, root4, z4, nz4, s1, s2, c_at_z,
     over rows because the row-index iota does)."""
     n = a1.shape[0]
     xs = fj.power_series_dev(root4, n)
-    u = fj.inv_batch(fj.sub(xs, jnp.broadcast_to(z4, (n, 4))))
-    v = fj.inv_batch(fj.sub(xs, jnp.broadcast_to(nz4, (n, 4))))
+    xz = fj.sub(xs, jnp.broadcast_to(z4, (n, 4)))
+    xnz = fj.sub(xs, jnp.broadcast_to(nz4, (n, 4)))
+    w = fj.inv_batch(fj.mul(xz, xnz))   # one Fermat chain for both inverses
+    u = fj.mul(w, xnz)
+    v = fj.mul(w, xz)
 
     t1 = fj.mul(fj.sub(a1, jnp.broadcast_to(s1, (n, 4))), u)
     t2 = fj.mul(fj.sub(a2, jnp.broadcast_to(s2, (n, 4))), v)
@@ -208,7 +214,7 @@ def compose_sharded(trace, constraint_lde, z, cc_obj, s1, s2, c_at_z, mesh):
 # step 7: FRI folds, row axis sharded
 # ------------------------------------------------------------------------------------------------
 
-def fold_sharded(p_values, x0, special_x, mesh):
+def fold_sharded(p_values, x0, x0_inv3, special_x, mesh):
     """One radix-4 fold with the row axis sharded (each row folds
     independently; no communication)."""
     from ..ops.fri_jax import _fold_rows_impl
@@ -219,11 +225,12 @@ def fold_sharded(p_values, x0, special_x, mesh):
         # tiny layers: not worth sharding (and the row count stops dividing
         # the mesh); fall back to single-device fold
         from ..ops import tiles
-        return tiles.fold_rows(p_values, x0, special_x)
+        return tiles.fold_rows(p_values, x0, x0_inv3, special_x)
     ys = jax.device_put(p_values, NamedSharding(mesh, P("shard", None, None)))
     xs = jax.device_put(x0, rows2(mesh))
+    ixs = jax.device_put(x0_inv3, rows2(mesh))
     _record("fri_fold", ys)
-    return jax.jit(_fold_rows_impl)(ys, xs, special_x)
+    return jax.jit(_fold_rows_impl)(ys, xs, ixs, special_x)
 
 
 # ------------------------------------------------------------------------------------------------

@@ -72,8 +72,13 @@ def reduce(evaluations_dev, domain_root, options):
     hash_name = options.hash_fn
     n = evaluations_dev.shape[0]
     # first-column node coordinates [x^0 .. x^(n/4 - 1)]; every subsequent
-    # layer's nodes are a [::4] stride of these (fri_jax module docstring)
+    # layer's nodes are a [::4] stride of these (fri_jax module docstring).
+    # Their inverse cubes are the power series of w^-3 (w a root of unity),
+    # striding identically - which is how the fold gets its Lagrange
+    # denominators without any batched inversion.
     x0 = tiles.power_series(domain_root, n // 4)
+    inv_root3 = field.exp(field.inv(domain_root), 3)
+    x0_inv3 = tiles.power_series(inv_root3, n // 4)
 
     tree_results = []
     value_results = []
@@ -90,10 +95,11 @@ def reduce(evaluations_dev, domain_root, options):
         if mesh is not None:
             from ..parallel import mesh_stages
             column = mesh_stages.fold_sharded(
-                p_values, x0, fj.constant(special_x), mesh)
+                p_values, x0, x0_inv3, fj.constant(special_x), mesh)
         else:
-            column = tiles.fold_rows(p_values, x0, fj.constant(special_x))
+            column = tiles.fold_rows(p_values, x0, x0_inv3, fj.constant(special_x))
         x0 = x0[::4]
+        x0_inv3 = x0_inv3[::4]
 
         c_values = fri_jax.transpose_quartic(column, 1)
         c_tree = _build_layer_tree(c_values, hash_name)

@@ -75,10 +75,11 @@ def prove(trace, inputs, outputs, options):
 
     # 5 ----- commit to constraint polynomial evaluations ----------------------------------------
     now = time.time()
-    from ..ops import tiles
     padded = jnp.zeros((domain_size, 4), dtype=jnp.uint32)
     padded = padded.at[: constraint_poly.shape[0]].set(constraint_poly)
-    constraint_lde = tiles.ntt(padded, lde_root)
+    # the single biggest transform of the proof (2^25 rows at the 2^20 north
+    # star): intra-NTT sharded over the mesh when one is configured
+    constraint_lde = _extend_column_dev(padded, lde_root, "constraint_lde")
     constraint_tree = _build_constraint_tree(constraint_lde, options.hash_fn)
     log.debug("Evaluated constraint polynomial and built constraint tree in %.0f ms",
               (time.time() - now) * 1000)
@@ -234,6 +235,38 @@ def _evaluate_constraints_columnar(evaluator, trace, debug_check=True):
         assert len(bad) == 0, f"transition constraints not satisfied at step {bad[:3]}"
 
     return i_evals, f_evals, t_evals
+
+
+def _mesh_for_transform(n):
+    """The configured mesh, if the size-n four-step split divides it."""
+    from ..parallel.mesh import configured_mesh
+
+    mesh = configured_mesh()
+    if mesh is None:
+        return None
+    n1 = 1 << ((n.bit_length() - 1) // 2)
+    return mesh if n1 % mesh.devices.size == 0 else None
+
+
+def _extend_column_dev(padded, root_int, stage):
+    """Full-domain NTT of one (n, 4) column.
+
+    Under a configured mesh the transform itself is sharded - the four-step
+    decomposition with an all-to-all between the row and column passes
+    (parallel/ntt_sharded.py, the TPU re-architecture of the reference's
+    fork-join FFT, src/math/fft.rs:29-38); single-device runs use the
+    fixed-tile Bailey recursion."""
+    from ..ops import tiles
+
+    mesh = _mesh_for_transform(padded.shape[0])
+    if mesh is not None:
+        from ..parallel import ntt_sharded as ns
+        from ..parallel import mesh_stages
+
+        out = ns.ntt_sharded(padded, mesh, root_int)
+        mesh_stages.RECORDED_SHARDINGS[stage] = out.sharding
+        return out
+    return tiles.ntt(padded, root_int)
 
 
 def _validate_transition_degrees(evaluator, trace):
@@ -460,7 +493,18 @@ def _combine_constraint_polys(evaluator, i_evals, f_evals, t_evals, trace_length
         return fj.from_ints(np.asarray(evals, dtype=object))
 
     from ..ops import tiles
-    if evaluator.domain_size >= (1 << 23):
+    mesh = _mesh_for_transform(n_ev)
+    if mesh is not None:
+        # mesh proving: the three D_ev-sized interpolations run as sharded
+        # four-step transforms (one all-to-all each)
+        from ..parallel import ntt_sharded as ns
+        from ..parallel import mesh_stages
+
+        i_poly = ns.intt_sharded(_to_limbs(i_evals), mesh, ev_root)
+        f_poly = ns.intt_sharded(_to_limbs(f_evals), mesh, ev_root)
+        t_poly = ns.intt_sharded(_to_limbs(t_evals), mesh, ev_root)
+        mesh_stages.RECORDED_SHARDINGS["constraint_intt"] = i_poly.sharding
+    elif evaluator.domain_size >= (1 << 23):
         # huge domains: three separate iNTTs with a fence between them -
         # the async eager NTT chain holds ~10 full-size intermediates, and
         # batching all three columns at 2^23+ rows triples that peak
@@ -532,64 +576,106 @@ import jax as _jax
 
 
 @_jax.jit
-def _poly_eval_tile(polys, ps):
-    """((RG, T, 4), (T, 4)) -> (RG, 4) partial sums of sum_j p[i,j]*x^j."""
-    return fj.sum_reduce(fj.mul(polys, ps[None]), axis=1)
+def _poly_eval_tile_multi(polys_chunk, bases, prefixes):
+    """((RG, T, 4), (PC, 4), (PC, 4)) -> (PC, RG, 4): partial sums of
+    sum_j p[r, j] * x_p^(lo + j) for a chunk of evaluation points at once.
+    The per-point power series build on device from the bases; per-tile
+    prefixes x_p^lo arrive pre-transferred (host->device constants cost a
+    tunnel round trip each)."""
+    t = polys_chunk.shape[1]
+    ps = _jax.vmap(lambda b: fj.power_series_dev(b, t))(bases)   # (PC, T, 4)
+    ps = fj.mul(ps, prefixes[:, None, :])
+    prod = fj.mul(polys_chunk[None], ps[:, None, :, :])          # (PC, RG, T, 4)
+    return fj.sum_reduce(prod, axis=2)
 
 
-def _poly_eval_rows(polys, x_int):
-    """T_i(x) for every register row of (R, n, 4) - tiled over both axes so
-    the kernels are geometry-independent; returns host ints."""
+def _poly_eval_rows_multi(polys, x_ints):
+    """T_r(x_p) for every register row r and every point p: returns a
+    (P, R) list-of-lists of host ints.  Replaces P sequential single-point
+    sweeps (each paying per-tile host-constant transfers - ~25 ms of tunnel
+    latency apiece) with two bulk transfers and pure device dispatches."""
     from ..ops import tiles
 
     r, length = polys.shape[0], polys.shape[1]
     rg, t = tiles._RGROUP, tiles.TILE
-    totals = None
-    for lo in range(0, length, t):
-        width = min(t, length - lo)
-        ps = tiles._ps_tile(fj.constant(x_int), fj.constant(pow(x_int, lo, M)))
-        col_parts = []
-        for rlo in range(0, r, rg):
-            chunk = polys[rlo : rlo + rg, lo : lo + width]
-            if chunk.shape[1] < t:
-                chunk = jnp.concatenate(
-                    [chunk, jnp.zeros((chunk.shape[0], t - chunk.shape[1], 4),
-                                      dtype=jnp.uint32)], axis=1)
-            if chunk.shape[0] < rg:
-                chunk = jnp.concatenate(
-                    [chunk, jnp.zeros((rg - chunk.shape[0], t, 4),
-                                      dtype=jnp.uint32)])
-            col_parts.append(_poly_eval_tile(chunk, ps))
-        col = col_parts[0] if len(col_parts) == 1 else jnp.concatenate(col_parts)
-        totals = col if totals is None else fj.add(totals, col)
-    return [int(v) for v in fj.to_ints(np.asarray(totals))[:r]]
+    p_total = len(x_ints)
+    pc = min(16, max(1, p_total))
+    n_tiles = (length + t - 1) // t
+
+    xs = [int(x) % M for x in x_ints]
+    rem = (-p_total) % pc
+    xs_padded = xs + [0] * rem
+    bases_all = fj.from_ints(np.array(xs_padded, dtype=object))      # (P', 4)
+    prefixes_all = fj.from_ints(np.array(
+        [[pow(x, lo, M) for lo in range(0, length, t)] for x in xs_padded],
+        dtype=object))                                               # (P', T#, 4)
+
+    results = []                                                     # (P', R)
+    for plo in range(0, len(xs_padded), pc):
+        totals = None                                                # (PC, R', 4)
+        for ti, lo in enumerate(range(0, length, t)):
+            width = min(t, length - lo)
+            col_parts = []
+            for rlo in range(0, r, rg):
+                chunk = polys[rlo : rlo + rg, lo : lo + width]
+                if chunk.shape[1] < t:
+                    chunk = jnp.concatenate(
+                        [chunk, jnp.zeros((chunk.shape[0], t - chunk.shape[1], 4),
+                                          dtype=jnp.uint32)], axis=1)
+                if chunk.shape[0] < rg:
+                    chunk = jnp.concatenate(
+                        [chunk, jnp.zeros((rg - chunk.shape[0], t, 4),
+                                          dtype=jnp.uint32)])
+                col_parts.append(_poly_eval_tile_multi(
+                    chunk, bases_all[plo : plo + pc],
+                    prefixes_all[plo : plo + pc, ti]))
+            col = (col_parts[0] if len(col_parts) == 1
+                   else jnp.concatenate(col_parts, axis=1))
+            totals = col if totals is None else fj.add(totals, col)
+        ints = fj.to_ints(np.asarray(totals))                        # (PC, R')
+        for k in range(pc):
+            results.append([int(v) for v in ints[k][:r]])
+    return results[:p_total]
+
+
+def _poly_eval_rows(polys, x_int):
+    """T_i(x) for every register row of (R, n, 4); returns host ints."""
+    return _poly_eval_rows_multi(polys, [x_int])[0]
 
 
 @_jax.jit
-def _compose_tile(a1, a2, c_t, root4, prefix, z4, nz4, s1, s2, c_at_z,
-                  k1, k2, kc, incr_base, incr_prefix):
-    """One fixed-shape domain tile of the DEEP composition: batched
-    (x-z)/(x-zg) inverses, the x^incr degree adjustment, and the constraint
-    part.  x-coordinates and x^incr rebuild per tile from power series with
-    host-computed tile prefixes, so the kernel never sees the domain size."""
-    t = a1.shape[0]
-    xs = fj.mul(fj.power_series_dev(root4, t), jnp.broadcast_to(prefix, (t, 4)))
-    u = fj.inv_batch(fj.sub(xs, jnp.broadcast_to(z4, (t, 4))))
-    v = fj.inv_batch(fj.sub(xs, jnp.broadcast_to(nz4, (t, 4))))
+def _compose_tiles_batched(a1, a2, c_t, root4, prefixes, z4, nz4, s1, s2,
+                           c_at_z, k1, k2, kc, incr_base, incr_prefixes):
+    """A batch of fixed-shape domain tiles of the DEEP composition in ONE
+    dispatch: (T, TILE, 4) operands with (T, 4) per-tile x / x^incr
+    prefixes (host pow()s shipped in one transfer - per-tile constants cost
+    a tunnel round trip each).  The (x-z) and (x-zg) inverses come from a
+    single Fermat inversion of their product: 1/(x-z) = (x-zg) * w and
+    1/(x-zg) = (x-z) * w with w = 1/((x-z)(x-zg)) - halving the dominant
+    127-squaring chain."""
+    t, tl = a1.shape[0], a1.shape[1]
+    shape = (t, tl, 4)
+    ps = fj.power_series_dev(root4, tl)
+    xs = fj.mul(jnp.broadcast_to(ps[None], shape), prefixes[:, None, :])
+    xz = fj.sub(xs, jnp.broadcast_to(z4, shape))
+    xnz = fj.sub(xs, jnp.broadcast_to(nz4, shape))
+    w = fj.inv_batch(fj.mul(xz, xnz))
+    u = fj.mul(w, xnz)
+    v = fj.mul(w, xz)
 
-    t1 = fj.mul(fj.sub(a1, jnp.broadcast_to(s1, (t, 4))), u)
-    t2 = fj.mul(fj.sub(a2, jnp.broadcast_to(s2, (t, 4))), v)
+    t1 = fj.mul(fj.sub(a1, jnp.broadcast_to(s1, shape)), u)
+    t2 = fj.mul(fj.sub(a2, jnp.broadcast_to(s2, shape)), v)
     base = fj.add(t1, t2)
 
-    x_incr = fj.mul(fj.power_series_dev(incr_base, t),
-                    jnp.broadcast_to(incr_prefix, (t, 4)))
-    part1 = fj.mul(base, jnp.broadcast_to(k1, (t, 4)))
-    part2 = fj.mul(fj.mul(base, x_incr), jnp.broadcast_to(k2, (t, 4)))
+    ips = fj.power_series_dev(incr_base, tl)
+    x_incr = fj.mul(jnp.broadcast_to(ips[None], shape), incr_prefixes[:, None, :])
+    part1 = fj.mul(base, jnp.broadcast_to(k1, shape))
+    part2 = fj.mul(fj.mul(base, x_incr), jnp.broadcast_to(k2, shape))
     composed = fj.add(part1, part2)
 
     c_part = fj.mul(
-        fj.mul(fj.sub(c_t, jnp.broadcast_to(c_at_z, (t, 4))), u),
-        jnp.broadcast_to(kc, (t, 4)))
+        fj.mul(fj.sub(c_t, jnp.broadcast_to(c_at_z, shape)), u),
+        jnp.broadcast_to(kc, shape))
     return fj.add(composed, c_part)
 
 
@@ -605,15 +691,17 @@ def _build_composition_evaluations(trace, constraint_poly, constraint_lde, z, cc
     g = field.get_root_of_unity(trace_length)
     next_z = field.mul(z, g)
 
-    # multi-chip: row-sharded full-domain composition over the mesh
+    # multi-chip: row-sharded full-domain composition over the mesh (the
+    # streaming variant below re-extends weighted sums instead and shards
+    # inside the column NTTs - it never materializes the (R, D, 4) LDE)
     from ..parallel.mesh import configured_mesh
     mesh = configured_mesh()
-    if mesh is not None and n % mesh.devices.size == 0:
+    if mesh is not None and not trace.streaming and n % mesh.devices.size == 0:
         from ..parallel import mesh_stages
 
         r_count = trace.register_count()
-        trace_state1 = _poly_eval_rows(trace.polys_dev, z)
-        trace_state2 = _poly_eval_rows(trace.polys_dev, next_z)
+        trace_state1, trace_state2 = _poly_eval_rows_multi(
+            trace.polys_dev, [z, next_z])
         s1 = 0
         s2 = 0
         for i in range(r_count):
@@ -638,7 +726,7 @@ def _build_composition_evaluations(trace, constraint_poly, constraint_lde, z, cc
             combo = tiles.weighted_register_sum(trace.polys_dev, w)  # (N, 4)
             padded = jnp.zeros((n, 4), dtype=jnp.uint32)
             padded = padded.at[: combo.shape[0]].set(combo)
-            return tiles.ntt(padded, root_d)
+            return _extend_column_dev(padded, root_d, "composition_wsum_lde")
 
         a1 = extend_wsum(w1)
         a2 = extend_wsum(w2)
@@ -650,8 +738,8 @@ def _build_composition_evaluations(trace, constraint_poly, constraint_lde, z, cc
     # T_i(z), T_i(zg) and the scalar DEEP terms - tiny host big-int math on
     # tiled device poly evaluations (these are the proof's DeepValues, so
     # they are needed on the host regardless)
-    trace_state1 = _poly_eval_rows(trace.polys_dev, z)
-    trace_state2 = _poly_eval_rows(trace.polys_dev, next_z)
+    trace_state1, trace_state2 = _poly_eval_rows_multi(
+        trace.polys_dev, [z, next_z])
     s1 = 0
     s2 = 0
     for i in range(r_count):
@@ -663,47 +751,45 @@ def _build_composition_evaluations(trace, constraint_poly, constraint_lde, z, cc
     root = field.get_root_of_unity(n)
     incr_base = field.exp(root, incr)
 
+    # all per-tile x / x^incr prefixes in two transfers; tiles then run in
+    # bounded-size batches (one dispatch each) so the kernel working set
+    # stays under the HBM budget at north-star domains while small proofs
+    # compose in a single dispatch
+    tile = tiles.TILE
+    n_tiles = (n + tile - 1) // tile
+    x_prefixes = fj.from_ints(np.array(
+        [field.exp(root, lo) for lo in range(0, n, tile)], dtype=object))
+    i_prefixes = fj.from_ints(np.array(
+        [field.exp(incr_base, lo) for lo in range(0, n, tile)], dtype=object))
+
+    def pad_tiles(arr):
+        rem = (-arr.shape[0]) % tile
+        if rem:
+            arr = jnp.concatenate(
+                [arr, jnp.zeros((rem, 4), dtype=jnp.uint32)])
+        return arr.reshape(n_tiles, tile, 4)
+
+    a1_t, a2_t, c_t = pad_tiles(a1), pad_tiles(a2), pad_tiles(constraint_lde)
+    consts = (fj.constant(root), fj.constant(z), fj.constant(next_z),
+              fj.constant(s1), fj.constant(s2), fj.constant(c_at_z),
+              fj.constant(cc.t1_degree), fj.constant(cc.t2_degree),
+              fj.constant(cc.constraints), fj.constant(incr_base))
+    (root4, z4, nz4, s1_4, s2_4, caz4, k1, k2, kc, incr4) = consts
+
+    batch = max(1, int(os.environ.get("DISTAFF_COMPOSE_TILES", 32)))
     parts = []
-    for lo in range(0, n, tiles.TILE):
-        width = min(tiles.TILE, n - lo)
-
-        def tile_of(arr):
-            chunk = _jax.lax.dynamic_slice_in_dim(arr, lo, width, axis=0)
-            if width < tiles.TILE:
-                chunk = jnp.concatenate(
-                    [chunk, jnp.zeros((tiles.TILE - width, 4), dtype=jnp.uint32)])
-            return chunk
-
-        parts.append(_compose_tile(
-            tile_of(a1), tile_of(a2), tile_of(constraint_lde),
-            fj.constant(root), fj.constant(field.exp(root, lo)),
-            fj.constant(z), fj.constant(next_z),
-            fj.constant(s1), fj.constant(s2), fj.constant(c_at_z),
-            fj.constant(cc.t1_degree), fj.constant(cc.t2_degree),
-            fj.constant(cc.constraints),
-            fj.constant(incr_base), fj.constant(field.exp(incr_base, lo)),
-        )[:width])
-    composed = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    for lo in range(0, n_tiles, batch):
+        hi = min(lo + batch, n_tiles)
+        parts.append(_compose_tiles_batched(
+            a1_t[lo:hi], a2_t[lo:hi], c_t[lo:hi],
+            root4, x_prefixes[lo:hi], z4, nz4, s1_4, s2_4, caz4,
+            k1, k2, kc, incr4, i_prefixes[lo:hi]).reshape(-1, 4))
+    composed = (parts[0] if len(parts) == 1 else jnp.concatenate(parts))[:n]
 
     deep_values = DeepValues(trace_state1, trace_state2)
     return composed, deep_values
 
 
 def polynom_eval_dev(poly_dev, x_int):
-    """Evaluate an (n, 4) device coefficient vector at a host int: tiled
-    partial sums accumulate on device, one transfer at the end."""
-    from ..ops import tiles
-
-    n = poly_dev.shape[0]
-    total = None
-    for lo in range(0, n, tiles.TILE):
-        width = min(tiles.TILE, n - lo)
-        chunk = poly_dev[None, lo : lo + width]
-        if width < tiles.TILE:
-            chunk = jnp.concatenate(
-                [chunk, jnp.zeros((1, tiles.TILE - width, 4), dtype=jnp.uint32)],
-                axis=1)
-        ps = tiles._ps_tile(fj.constant(x_int), fj.constant(pow(x_int, lo, M)))
-        part = _poly_eval_tile(chunk, ps)
-        total = part if total is None else fj.add(total, part)
-    return int(fj.to_ints(np.asarray(total))[0])
+    """Evaluate an (n, 4) device coefficient vector at a host int."""
+    return _poly_eval_rows_multi(poly_dev[None], [x_int])[0][0]

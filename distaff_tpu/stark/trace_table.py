@@ -143,8 +143,13 @@ class TraceTable:
         stream_env = os.environ.get("DISTAFF_STREAM_LDE", "auto")
         lde_bytes = self._register_count * domain * 16
         budget = int(os.environ.get("DISTAFF_HBM_BUDGET_BYTES", 7 << 30))
-        self.streaming = mesh is None and (
-            stream_env == "1" or (stream_env == "auto" and lde_bytes > budget))
+        # under a mesh the budget is per-device: the streaming NTTs shard
+        # across the mesh (intra-NTT four-step, see _stream_commit), so a
+        # trace whose LDE exceeds ONE device's HBM can still prove
+        budget_total = budget * (mesh.devices.size if mesh is not None else 1)
+        self.streaming = (
+            stream_env == "1"
+            or (stream_env == "auto" and lde_bytes > budget_total))
         if self.streaming:
             from ..ops import tiles
             root_n = field.get_root_of_unity(n)
@@ -272,6 +277,17 @@ class TraceTable:
             "streaming commitment supports single-chunk BLAKE3 rows "
             "(<= 64 registers)")
 
+        # under a mesh, each register's full-domain NTT is itself sharded
+        # (four-step with an all-to-all, parallel/ntt_sharded.py) so the
+        # streaming working set divides across devices - this is what lets a
+        # trace whose LDE exceeds one device's HBM prove on a mesh
+        from .prover import _mesh_for_transform
+
+        mesh = _mesh_for_transform(domain)
+        if mesh is not None:
+            from ..parallel import ntt_sharded as ns
+            from ..parallel import mesh_stages
+
         cv = b3.absorb_begin(domain)
         slice_parts = []
         staged = []  # up to 4 single-register (1, D, 4) LDEs = one 64B block
@@ -284,7 +300,11 @@ class TraceTable:
             # wider batches multiply it (rchunk=4 OOMed a 16 GB chip)
             padded = jnp.zeros((1, domain, 4), dtype=jnp.uint32)
             padded = padded.at[:, :n].set(self.polys_dev[r : r + 1])
-            lde_r = tiles.ntt_batched(padded, root_d)[0]     # (D, 4)
+            if mesh is not None:
+                lde_r = ns.ntt_sharded(padded[0], mesh, root_d)  # (D, 4)
+                mesh_stages.RECORDED_SHARDINGS["stream_ntt"] = lde_r.sharding
+            else:
+                lde_r = tiles.ntt_batched(padded, root_d)[0]     # (D, 4)
             slice_parts.append(lde_r[None, ::stride])
             staged.append(lde_r)
             # fence: retire this register's NTT working set before enqueuing
@@ -343,13 +363,13 @@ class TraceTable:
         if self.streaming:
             # no LDE to gather from: evaluate every register poly directly
             # at x = g^p for each queried position (identical values - the
-            # LDE rows ARE those evaluations)
-            from .prover import _poly_eval_rows
+            # LDE rows ARE those evaluations), all positions in one batched
+            # multi-point sweep
+            from .prover import _poly_eval_rows_multi
             root = field.get_root_of_unity(self.domain_size())
-            return [
-                _poly_eval_rows(self.polys_dev, field.exp(root, int(p)))
-                for p in positions
-            ]
+            return _poly_eval_rows_multi(
+                self.polys_dev,
+                [field.exp(root, int(p)) for p in positions])
         from ..ops.gather import gather_rows
         rows = gather_rows(self.lde_dev, list(positions), axis=1)  # (R, Q, 4)
         ints = fj.to_ints(rows)                      # (R, Q) object

@@ -12,6 +12,8 @@ from distaff_tpu.stark.trace_table import TraceTable
 from distaff_tpu.stark.constraints.evaluator import Evaluator
 from distaff_tpu.stark import prover
 
+pytestmark = pytest.mark.heavy  # full proofs / mesh / compile-heavy
+
 
 PROGRAMS = [
     # exercises add/mul/push + block nesting

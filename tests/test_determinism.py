@@ -7,11 +7,14 @@ changes these bytes.  The golden hash pins the round-1 transcript; update
 it ONLY for intentional protocol changes (and say so in the commit).
 """
 
+import pytest
 import hashlib
 
 import distaff_tpu
 from distaff_tpu import assembly, ProgramInputs, ProofOptions
 from distaff_tpu.stark import serde
+
+pytestmark = pytest.mark.heavy  # full proofs / mesh / compile-heavy
 
 GOLDEN_SHA256 = "876d9f49cddbe11a3b360c04245d3b29712b6309a1eb446af835b123c729c842"
 GOLDEN_LEN = 12926

@@ -6,6 +6,8 @@ import distaff_tpu
 from distaff_tpu import assembly, ProgramInputs, ProofOptions
 from distaff_tpu.stark import serde
 
+pytestmark = pytest.mark.heavy  # full proofs / mesh / compile-heavy
+
 
 @pytest.fixture(scope="module")
 def toy_proof():

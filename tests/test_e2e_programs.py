@@ -17,6 +17,8 @@ from distaff_tpu.programs import Program
 from distaff_tpu.programs.blocks import Span, Group
 from distaff_tpu.programs.opcodes import OpCode, OpHint
 
+pytestmark = pytest.mark.heavy  # full proofs / mesh / compile-heavy
+
 OPTIONS = ProofOptions(extension_factor=16, num_queries=10, grinding_factor=2)
 
 # fixed stand-ins for the reference's field::rand() draws

@@ -8,6 +8,8 @@ import pytest
 from distaff_tpu.math import field, polynom
 from distaff_tpu.math import field_jax as fj
 
+pytestmark = pytest.mark.heavy  # full proofs / mesh / compile-heavy
+
 
 @pytest.fixture(scope="module")
 def vectors():

@@ -1,5 +1,6 @@
 """Pallas field kernels vs the host oracle (interpret mode on CPU)."""
 
+import pytest
 import random
 
 import numpy as np
@@ -7,6 +8,8 @@ import numpy as np
 from distaff_tpu.math import field
 from distaff_tpu.math import field_jax as fj
 from distaff_tpu.ops import field_pallas as fp
+
+pytestmark = pytest.mark.heavy  # full proofs / mesh / compile-heavy
 
 
 def test_butterfly_matches_oracle():

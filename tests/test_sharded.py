@@ -11,6 +11,8 @@ from distaff_tpu.math import field_jax as fj
 from distaff_tpu.parallel.mesh import make_mesh
 from distaff_tpu.parallel import ntt_sharded as ns
 
+pytestmark = pytest.mark.heavy  # full proofs / mesh / compile-heavy
+
 
 def _require_devices(n):
     if len(jax.devices("cpu")) < n:

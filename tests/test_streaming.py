@@ -17,6 +17,8 @@ from distaff_tpu.math import field_jax as fj
 from distaff_tpu.processor import execute as vm_execute
 from distaff_tpu.stark.trace_table import TraceTable
 
+pytestmark = pytest.mark.heavy  # full proofs / mesh / compile-heavy
+
 
 @pytest.fixture(scope="module")
 def traces():
@@ -64,6 +66,45 @@ def test_stream_query_rows_match(traces):
     positions = [1, 7, 30, 101, plain.domain_size() - 2]
     assert (stream.get_register_values_at(positions)
             == plain.get_register_values_at(positions))
+
+
+def test_stream_mesh_prove_bit_identical(monkeypatch):
+    """Streaming + mesh proving (the north-star configuration: a trace whose
+    LDE exceeds one device's HBM proves on a mesh with every per-register
+    streaming NTT itself sharded) must produce the same proof bytes as
+    single-device materialized proving, with the intra-NTT four-step path
+    recorded in RECORDED_SHARDINGS."""
+    import jax
+
+    if len(jax.devices("cpu")) < 4:
+        pytest.skip("need 4 virtual devices")
+    from distaff_tpu import ProofOptions
+    from distaff_tpu.parallel import mesh_stages
+    from distaff_tpu.stark import serde
+
+    program = assembly.compile("begin repeat.4 swap dup.2 drop add end end")
+    inputs = ProgramInputs.from_public([1, 0])
+    options = ProofOptions(extension_factor=16, num_queries=10,
+                           grinding_factor=2)
+
+    outputs1, proof1 = distaff_tpu.execute(program, inputs, 1, options)
+
+    mesh_stages.RECORDED_SHARDINGS.clear()
+    monkeypatch.setenv("DISTAFF_MESH_DEVICES", "4")
+    monkeypatch.setenv("DISTAFF_STREAM_LDE", "1")
+    outputs2, proof2 = distaff_tpu.execute(program, inputs, 1, options)
+
+    assert outputs1 == outputs2
+    assert serde.serialize(proof1) == serde.serialize(proof2)
+    assert distaff_tpu.verify(
+        program.hash, inputs.get_public_inputs(), outputs2, proof2)
+
+    recorded = mesh_stages.RECORDED_SHARDINGS
+    for stage in ("stream_ntt", "constraint_lde", "constraint_intt",
+                  "composition_wsum_lde"):
+        assert stage in recorded, f"stage {stage} never took the mesh path"
+        assert not recorded[stage].is_fully_replicated, (
+            f"stage {stage} fully replicated: {recorded[stage]}")
 
 
 def test_stream_weighted_sum_commutes(traces):

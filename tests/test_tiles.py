@@ -64,12 +64,29 @@ def test_fold_rows_matches(q, _no_compile_cache):
         dtype=object))
     # both implementations are the same rational function of arbitrary
     # nonzero nodes - no root-of-unity structure needed for the identity
-    x0 = fj.from_ints(np.array(
-        [rng.randrange(1, field.M) for _ in range(q)], dtype=object))
+    x0_ints = [rng.randrange(1, field.M) for _ in range(q)]
+    x0 = fj.from_ints(np.array(x0_ints, dtype=object))
+    ix3 = fj.from_ints(np.array(
+        [pow(field.inv(x), 3, field.M) for x in x0_ints], dtype=object))
     sx = fj.constant(rng.randrange(field.M))
-    got = np.asarray(tiles.fold_rows(ys, x0, sx))
-    want = np.asarray(fri_jax.fold_rows(ys, x0, sx))
+    got = np.asarray(tiles.fold_rows(ys, x0, ix3, sx))
+    want = np.asarray(fri_jax.fold_rows(ys, x0, ix3, sx))
     assert (got == want).all()
+
+
+def test_fold_inverse_power_series_identity():
+    # fri.reduce supplies the fold's Lagrange denominators as the power
+    # series of w^-3 with per-layer [::4] strides; that must equal the
+    # elementwise inverse cube of the node series at every layer
+    n = 256
+    root = field.get_root_of_unity(n)
+    x0 = fj.to_ints(np.asarray(tiles.power_series(root, n // 4)))
+    ix3 = fj.to_ints(np.asarray(tiles.power_series(
+        field.exp(field.inv(root), 3), n // 4)))
+    for _ in range(3):
+        for a, b in zip(x0, ix3):
+            assert (pow(int(a), 3, field.M) * int(b)) % field.M == 1
+        x0, ix3 = x0[::4], ix3[::4]
 
 
 @pytest.mark.parametrize("n,b", [(8, 1), (64, 3), (256, 2), (1024, 1), (4096, 1)])
