@@ -10,7 +10,7 @@ with the per-round message schedule precomputed as composed-permutation
 index tables - unrolling the G-function chains instead makes XLA's
 compile time explode.
 
-Only single-chunk messages (<= 1024 bytes = 64 registers) need this fast
+Messages up to two chunks (<= 2048 bytes = 128 registers) ride this fast
 path; wider traces fall back to the host implementation.
 """
 
@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..crypto.blake3 import _IV, _PERM, CHUNK_START, CHUNK_END, ROOT
+from ..crypto.blake3 import _IV, _PERM, CHUNK_START, CHUNK_END, ROOT, PARENT
 
 # composed permutations: round r reads message word j from PERMS[r][j]
 _PERMS = np.zeros((7, 16), dtype=np.int32)
@@ -46,14 +46,17 @@ def _g(s, a, b, c, d, mx, my):
     return s.at[a].set(sa).at[b].set(sb).at[c].set(sc).at[d].set(sd)
 
 
-def _compress(cv, m_stack, block_len, flags):
-    """cv: (8, N); m_stack: (16, N) message words -> new cv (8, N)."""
+def _compress(cv, m_stack, block_len, flags, counter=0):
+    """cv: (8, N); m_stack: (16, N) message words -> new cv (8, N).
+    `counter` is the 64-bit chunk counter (t) - nonzero for the second and
+    later chunks of multi-chunk (> 1024-byte) messages."""
     n = cv.shape[1]
     iv = jnp.asarray(np.array(_IV[:4], dtype=np.uint32))
     tail = jnp.stack([
         jnp.broadcast_to(iv[0], (n,)), jnp.broadcast_to(iv[1], (n,)),
         jnp.broadcast_to(iv[2], (n,)), jnp.broadcast_to(iv[3], (n,)),
-        jnp.zeros(n, dtype=jnp.uint32), jnp.zeros(n, dtype=jnp.uint32),
+        jnp.full((n,), counter & 0xFFFFFFFF, dtype=jnp.uint32),
+        jnp.full((n,), (counter >> 32) & 0xFFFFFFFF, dtype=jnp.uint32),
         jnp.full((n,), block_len, dtype=jnp.uint32),
         jnp.full((n,), flags, dtype=jnp.uint32),
     ])
@@ -83,7 +86,7 @@ def hash_rows_u32(rows_u32, byte_len):
     rows_u32: (N, W) uint32 little-endian message words (W = byte_len/4).
     Returns (N, 8) uint32 digests.  Chunk counter is 0 (single chunk).
     """
-    assert byte_len <= 1024, "device path handles single-chunk messages only"
+    assert byte_len <= 2048, "device path handles <= 2-chunk messages"
     assert byte_len % 4 == 0
     n, w = rows_u32.shape
     assert w * 4 == byte_len
@@ -94,17 +97,36 @@ def hash_rows_u32(rows_u32, byte_len):
         rows_u32 = jnp.concatenate(
             [rows_u32, jnp.zeros((n, padded_w - w), dtype=jnp.uint32)], axis=1)
 
-    cv = jnp.stack([jnp.full((n,), iv, dtype=jnp.uint32) for iv in _IV])
-    for i in range(nblocks):
-        m_stack = rows_u32[:, i * 16 : (i + 1) * 16].T  # (16, N)
-        flags = 0
-        if i == 0:
-            flags |= CHUNK_START
-        if i == nblocks - 1:
-            flags |= CHUNK_END | ROOT
-        blen = 64 if i < nblocks - 1 else byte_len - 64 * (nblocks - 1)
-        cv = _compress(cv, m_stack, blen, flags)
-    return cv.T  # (N, 8)
+    nchunks = (nblocks + 15) // 16
+    chunk_cvs = []
+    for c in range(nchunks):
+        blocks = range(c * 16, min((c + 1) * 16, nblocks))
+        cv = jnp.stack([jnp.full((n,), iv, dtype=jnp.uint32) for iv in _IV])
+        for i in blocks:
+            m_stack = rows_u32[:, i * 16 : (i + 1) * 16].T  # (16, N)
+            flags = 0
+            if i == c * 16:
+                flags |= CHUNK_START
+            if i == min((c + 1) * 16, nblocks) - 1:
+                flags |= CHUNK_END
+                if nchunks == 1:
+                    flags |= ROOT
+            blen = 64 if i < nblocks - 1 else byte_len - 64 * (nblocks - 1)
+            cv = _compress(cv, m_stack, blen, flags, counter=c)
+        chunk_cvs.append(cv)
+    if nchunks == 1:
+        return chunk_cvs[0].T
+    return parent_root(chunk_cvs[0], chunk_cvs[1]).T  # (N, 8)
+
+
+def parent_root(cv0, cv1):
+    """Combine two chunk chaining values into the root digest of a 2-chunk
+    message (BLAKE3 parent node, counter 0): cv0 || cv1 is the 64-byte
+    parent block."""
+    n = cv0.shape[1]
+    m_stack = jnp.concatenate([cv0, cv1], axis=0)       # (16, N)
+    iv_cv = jnp.stack([jnp.full((n,), iv, dtype=jnp.uint32) for iv in _IV])
+    return _compress(iv_cv, m_stack, 64, PARENT | ROOT)
 
 
 # ------------------------------------------------------------------------------------------------
@@ -119,25 +141,29 @@ def absorb_begin(n):
     return jnp.stack([jnp.full((n,), iv, dtype=jnp.uint32) for iv in _IV])
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7))
-def absorb_block(cv, r0, r1, r2, r3, first, last, byte_len):
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+def absorb_block(cv, r0, r1, r2, r3, first_in_chunk, last_in_chunk, root,
+                 blen, counter):
     """One 64-byte block per row: 4 registers' limbs for every domain row.
 
     cv: (8, D) chaining values; r0..r3: (D, 4) uint32 limb arrays (register
     k's u128 LE words are message words 4k..4k+3).  The registers arrive as
     four separate 2D operands on purpose: any (4, D, 4) / (D, 4, 4)-shaped
     tensor at a program boundary gets a T(8,128)-padded layout copy (32x
-    HBM -> OOM at 2^25 domains).  byte_len is the FULL row length; the
-    final block's len is its remainder (zero-padded registers)."""
+    HBM -> OOM at 2^25 domains).  `counter` is the chunk index (rows wider
+    than 64 registers span two 1024-byte chunks); `root` is set only on the
+    final block of single-chunk rows - two-chunk rows get ROOT in the
+    parent combine (parent_root)."""
     m_stack = jnp.stack(
         [r[:, l] for r in (r0, r1, r2, r3) for l in range(4)])  # (16, D)
     flags = 0
-    if first:
+    if first_in_chunk:
         flags |= CHUNK_START
-    if last:
-        flags |= CHUNK_END | ROOT
-    blen = byte_len - 64 * ((byte_len - 1) // 64) if last else 64
-    return _compress(cv, m_stack, blen, flags)
+    if last_in_chunk:
+        flags |= CHUNK_END
+    if root:
+        flags |= ROOT
+    return _compress(cv, m_stack, blen, flags, counter=counter)
 
 
 def absorb_finish(cv):
@@ -150,12 +176,12 @@ def hash_trace_rows_dev(lde_dev):
 
     The row byte layout is the transposed limb array: uint32 limbs in
     little-endian order are the u128 LE serialization the reference hashes.
-    Returns None for very wide traces (> 1024-byte rows need multi-chunk
-    BLAKE3, which stays on the host path).
+    Returns None only for rows beyond the device hasher's 2-chunk limit
+    (> 128 registers cannot occur: MAX_REGISTER_COUNT).
     """
     r, d, _ = lde_dev.shape
     byte_len = r * 16
-    if byte_len > 1024:
+    if byte_len > 2048:
         return None
     from . import tiles
 

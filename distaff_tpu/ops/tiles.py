@@ -58,15 +58,21 @@ assert BTILE & (BTILE - 1) == 0
 # DISTAFF_PALLAS_LEAF routes leaf transforms (>= 256 points) through the
 # fused-in-VMEM Pallas kernel (ops/field_pallas.leaf_ntt_bm); values are
 # bit-identical (tests/test_pallas.py).  "auto" (default): Pallas on real
-# accelerators (measured 3x the XLA stage-at-a-time path, KERNELS_r03),
-# XLA on CPU (the Pallas interpreter is far slower there); "1"/"0" force.
+# accelerators ONLY for small batches - the all-stages-in-VMEM kernel wins
+# 3x at <= 32 lanes (KERNELS_r03) but the Mosaic-legal 128-lane blocks it
+# needs for bigger batches spill scoped VMEM and run 6x SLOWER than the
+# XLA stage loop (measured b=512 n=1024: 53 ms vs 8.8 ms on v5e).
+# "1"/"0" force it on/off regardless.
 _PALLAS_LEAF = os.environ.get("DISTAFF_PALLAS_LEAF", "auto")
+_PALLAS_MAXB = int(os.environ.get("DISTAFF_PALLAS_MAXB", 32))
 
 
 def _pallas_leaf_enabled(values):
     if _PALLAS_LEAF == "1":
         return True
     if _PALLAS_LEAF == "0":
+        return False
+    if values.shape[0] > _PALLAS_MAXB:
         return False
     try:
         return next(iter(values.devices())).platform != "cpu"

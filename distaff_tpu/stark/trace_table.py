@@ -273,9 +273,9 @@ class TraceTable:
         n_ev = domain // stride
         root_d = field.get_root_of_unity(domain)
         byte_len = r_count * 16
-        assert byte_len <= 1024, (
-            "streaming commitment supports single-chunk BLAKE3 rows "
-            "(<= 64 registers)")
+        assert byte_len <= 2048, (
+            "streaming commitment supports <= 2-chunk BLAKE3 rows "
+            "(<= 128 registers = MAX_REGISTER_COUNT)")
 
         # under a mesh, each register's full-domain NTT is itself sharded
         # (four-step with an all-to-all, parallel/ntt_sharded.py) so the
@@ -291,8 +291,10 @@ class TraceTable:
         cv = b3.absorb_begin(domain)
         slice_parts = []
         staged = []  # up to 4 single-register (1, D, 4) LDEs = one 64B block
+        chunk_cvs = []  # finished chunk chaining values (>64-register rows)
 
         n_blocks = (r_count + 3) // 4
+        n_chunks = (n_blocks + 15) // 16  # 16 blocks = one 1024-byte chunk
         for r in range(r_count):
             # one register at a time: the eager big-n NTT chain materializes
             # ~10 full-domain intermediates before the async queue drains, so
@@ -315,14 +317,26 @@ class TraceTable:
                 while len(staged) < 4:  # zero-pad the final partial block
                     staged.append(jnp.zeros((domain, 4), dtype=jnp.uint32))
                 bi = r // 4
+                last_overall = bi == n_blocks - 1
+                last_in_chunk = (bi % 16) == 15 or last_overall
+                blen = byte_len - 64 * (n_blocks - 1) if last_overall else 64
                 cv = b3.absorb_block(
                     cv, staged[0], staged[1], staged[2], staged[3],
-                    bi == 0, bi == n_blocks - 1, byte_len)
+                    (bi % 16) == 0, last_in_chunk,
+                    last_overall and n_chunks == 1, blen, bi // 16)
                 staged = []
+                if last_in_chunk and n_chunks > 1:
+                    chunk_cvs.append(cv)
+                    if not last_overall:
+                        cv = b3.absorb_begin(domain)
                 np.asarray(cv[0, :1])
 
         self.lde_stride_dev = jnp.concatenate(slice_parts)
-        self._leaf_digests = b3.absorb_finish(cv)
+        if n_chunks == 1:
+            self._leaf_digests = b3.absorb_finish(cv)
+        else:
+            self._leaf_digests = b3.parent_root(
+                chunk_cvs[0], chunk_cvs[1]).T
 
     def build_merkle_tree(self, hash_name):
         import os
@@ -336,7 +350,7 @@ class TraceTable:
             return make_device_tree(self._leaf_digests)
         row_bytes = self.register_count() * 16
         if (os.environ.get("DISTAFF_DEVICE_HASH", "1") != "0"
-                and hash_name == "blake3" and row_bytes <= 1024):
+                and hash_name == "blake3" and row_bytes <= 2048):
             # leaf digests AND every tree level are hashed on the device
             # (loop-formulated BLAKE3 compression); only the 32-byte root and
             # the eventual query openings cross the (slow) host link.

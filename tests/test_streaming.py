@@ -107,6 +107,44 @@ def test_stream_mesh_prove_bit_identical(monkeypatch):
             f"stage {stage} fully replicated: {recorded[stage]}")
 
 
+def test_stream_wide_trace_two_chunk_commit():
+    """A max-geometry-style trace (> 64 registers -> 1040-byte rows, i.e.
+    TWO BLAKE3 chunks per row: deep ctx nesting + nested while loops + a
+    31-deep user stack, per reference src/lib.rs:109-139) must stream with
+    the multi-chunk device commitment bit-identical to the materialized
+    tree."""
+    pushes = " ".join(f"push.{i + 1}" for i in range(31))
+    loop3 = ("push.1 while.true push.1 while.true push.1 while.true "
+             "push.0 end push.0 end push.0 end")
+    src = ("begin " + pushes + " " + "block " * 12 + loop3 + " end " * 12
+           + " add end")
+    program = assembly.compile(src)
+    regs, ctx_depth, loop_depth = vm_execute(program, ProgramInputs.none())
+    assert len(regs) > 64, f"geometry probe drifted: {len(regs)} registers"
+
+    plain = TraceTable(regs, ctx_depth, loop_depth, 16)
+    plain.extend()
+    stream = TraceTable(regs, ctx_depth, loop_depth, 16)
+    stream.extend()
+    stream.streaming = True
+    stream.lde_dev = None
+    stream._stream_commit()
+
+    # oracle: the HOST hashing path (device hashing disabled) - pins the
+    # multi-chunk device BLAKE3 against the spec implementation
+    import os
+
+    os.environ["DISTAFF_DEVICE_HASH"] = "0"
+    try:
+        host_root = plain.build_merkle_tree("blake3").root()
+    finally:
+        del os.environ["DISTAFF_DEVICE_HASH"]
+    assert stream.build_merkle_tree("blake3").root() == host_root
+    stride = plain.extension_factor // 8
+    assert (np.asarray(stream.lde_stride_dev)
+            == np.asarray(plain.lde_dev[:, ::stride, :])).all()
+
+
 def test_stream_weighted_sum_commutes(traces):
     # weighted register sums in coefficient space, then NTT == weighted
     # sums of the extended LDE (the streaming DEEP-composition identity)
