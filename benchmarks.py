@@ -191,6 +191,20 @@ def main():
         rate_bf / (VPU_OPS / OPS_PER_BUTTERFLY))
     results["device_ntt_fused_vs_hbm_sol"] = rate_bf / (HBM_BPS / 64.0)
 
+    # experimental MXU leaf (ops/mxu_ntt.py): 256-point DFT stages as bf16
+    # limb-convolution matmuls on the systolic array, twiddles absorbed
+    try:
+        from distaff_tpu.ops import mxu_ntt
+
+        root256 = field.get_root_of_unity(256)
+        xb = x[: 8192 * 256].reshape(8192, 256, 4)
+        _sync(mxu_ntt.leaf_ntt256(xb, root256))
+        t = _time(lambda: _sync(mxu_ntt.leaf_ntt256(xb, root256)), reps=3)
+        bf256 = 8192 * 128 * 8
+        results["device_mxu_leaf256_Gbutterflies_per_s"] = bf256 / t / 1e9
+    except Exception as exc:  # pragma: no cover
+        results["device_mxu_leaf256_error"] = f"{type(exc).__name__}"
+
     results["device"] = str(jax.devices()[0])
     if args.json:
         print(json.dumps(results))

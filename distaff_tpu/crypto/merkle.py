@@ -108,6 +108,12 @@ class MerkleTree:
 
     # batch openings -----------------------------------------------------------------------------
 
+    def prove_batch_async(self, indexes):
+        """Host trees have nothing in flight; API parity with the device
+        trees' pending-proof protocol."""
+        proof = self.prove_batch(indexes)
+        return type("_Ready", (), {"result": lambda _self: proof})()
+
     def prove_batch(self, indexes) -> BatchMerkleProof:
         n = self.values.shape[0]
         index_map = _map_indexes(indexes, n - 1)

@@ -127,10 +127,13 @@ class DeviceMerkleTree:
         proof.extend(self._gather_nodes(node_indexes))
         return proof
 
-    def prove_batch(self, indexes) -> BatchMerkleProof:
+    def prove_batch_async(self, indexes):
         """Same node-dedup walk as MerkleTree.prove_batch (reference
-        merkle.rs:64-124), but run over indices only; the actual 32-byte
-        node values are fetched from the device in two batched gathers."""
+        merkle.rs:64-124), but run over indices only; the 32-byte node
+        values come from two batched device gathers whose device->host
+        copies START here (copy_to_host_async) and land in `.result()` -
+        callers opening several trees (step 9 opens ten) overlap all the
+        ~25 ms tunnel round trips instead of paying them serially."""
         from .merkle import _map_indexes, _normalize_indexes
 
         n = self.n
@@ -145,28 +148,11 @@ class DeviceMerkleTree:
             leaf_fetch.extend((index, index + 1))
             leaf_plan.append((index_map.get(index), index_map.get(index + 1)))
             next_indexes.append((index + n) >> 1)
-        leaf_vals = self._gather_leaves(leaf_fetch)
-
-        values = [b""] * len(index_map)
-        nodes = []
-        node_slots = []                               # (norm_i, flat node index)
-        for i, (i1, i2) in enumerate(leaf_plan):
-            v1, v2 = leaf_vals[2 * i], leaf_vals[2 * i + 1]
-            if i1 is not None:
-                if i2 is not None:
-                    values[i1] = v1
-                    values[i2] = v2
-                    nodes.append([])
-                else:
-                    values[i1] = v1
-                    nodes.append([v2])
-            else:
-                values[i2] = v2
-                nodes.append([v1])
 
         # internal layers: same walk as the host tree, recording which flat
-        # node indices get appended where; values fetched in one transfer
+        # node indices get appended where
         depth = n.bit_length() - 1
+        node_slots = []                               # (norm_i, flat node index)
         walk = next_indexes
         for _ in range(1, depth):
             new_walk = []
@@ -181,11 +167,83 @@ class DeviceMerkleTree:
                 i += 1
             walk = new_walk
 
-        fetched = self._gather_nodes([ni for _, ni in node_slots])
-        for (i, _), value in zip(node_slots, fetched):
-            nodes[i].append(value)
+        leaf_dev = self._gather_leaves_dev(leaf_fetch)
+        node_dev = self._gather_nodes_dev([ni for _, ni in node_slots])
+        return _PendingBatchProof(
+            self, index_map, leaf_plan, node_slots, leaf_dev, node_dev, depth)
 
-        return BatchMerkleProof(values, nodes, depth)
+    def prove_batch(self, indexes) -> BatchMerkleProof:
+        return self.prove_batch_async(indexes).result()
+
+    def _gather_leaves_dev(self, leaf_indexes):
+        if not leaf_indexes:
+            return None
+        from ..ops.gather import gather_rows
+        rows = gather_rows(self.values, leaf_indexes)
+        if hasattr(rows, "copy_to_host_async"):
+            rows.copy_to_host_async()
+        return rows
+
+    def _gather_nodes_dev(self, node_indexes):
+        """Enqueue the device gather of internal nodes; returns an opaque
+        handle consumed by _nodes_from_opaque."""
+        if not node_indexes:
+            return None
+        from ..ops.gather import gather_rows
+        rows = gather_rows(self.flat_nodes, node_indexes)
+        if hasattr(rows, "copy_to_host_async"):
+            rows.copy_to_host_async()
+        return rows
+
+    def _nodes_from_opaque(self, node_indexes, opaque):
+        if opaque is None:
+            return []
+        rows = np.ascontiguousarray(np.asarray(opaque))
+        rows = rows.view(np.uint8).reshape(len(node_indexes), 32)
+        return [rows[k].tobytes() for k in range(len(node_indexes))]
+
+
+class _PendingBatchProof:
+    """A batch Merkle opening whose device->host copies are in flight."""
+
+    def __init__(self, tree, index_map, leaf_plan, node_slots,
+                 leaf_dev, node_dev, depth):
+        self.tree = tree
+        self.index_map = index_map
+        self.leaf_plan = leaf_plan
+        self.node_slots = node_slots
+        self.leaf_dev = leaf_dev
+        self.node_dev = node_dev
+        self.depth = depth
+
+    def result(self) -> BatchMerkleProof:
+        leaf_vals = []
+        if self.leaf_dev is not None:
+            rows = np.ascontiguousarray(np.asarray(self.leaf_dev))
+            rows = rows.view(np.uint8).reshape(-1, 32)
+            leaf_vals = [rows[k].tobytes() for k in range(rows.shape[0])]
+
+        values = [b""] * len(self.index_map)
+        nodes = []
+        for i, (i1, i2) in enumerate(self.leaf_plan):
+            v1, v2 = leaf_vals[2 * i], leaf_vals[2 * i + 1]
+            if i1 is not None:
+                if i2 is not None:
+                    values[i1] = v1
+                    values[i2] = v2
+                    nodes.append([])
+                else:
+                    values[i1] = v1
+                    nodes.append([v2])
+            else:
+                values[i2] = v2
+                nodes.append([v1])
+
+        fetched = self.tree._nodes_from_opaque(
+            [ni for _, ni in self.node_slots], self.node_dev)
+        for (i, _), value in zip(self.node_slots, fetched):
+            nodes[i].append(value)
+        return BatchMerkleProof(values, nodes, self.depth)
 
 
 class TiledDeviceMerkleTree(DeviceMerkleTree):
@@ -238,11 +296,10 @@ class TiledDeviceMerkleTree(DeviceMerkleTree):
         self.cap_nodes = build_merkle_nodes(roots, "blake3")
         self._root = self.cap_nodes[1].tobytes()
 
-    def _gather_nodes(self, node_indexes):
-        if not node_indexes:
-            return []
-        # cap internal nodes occupy global flat indexes [1, n_sub); deeper
-        # nodes live in the device subtrees
+    def _node_split(self, node_indexes):
+        """Split flat node indexes into host cap values and device subtree
+        gather coordinates: cap internal nodes occupy global flat indexes
+        [1, n_sub); deeper nodes live in the device subtrees."""
         n_sub = self.n // SUBTREE
         out = [None] * len(node_indexes)
         dev_flat = []
@@ -258,11 +315,35 @@ class TiledDeviceMerkleTree(DeviceMerkleTree):
                 local = (1 << kl) + (p & ((1 << kl) - 1))
                 dev_flat.append(j * SUBTREE + local)
                 dev_slots.append(slot)
+        return out, dev_flat, dev_slots
+
+    def _gather_nodes(self, node_indexes):
+        if not node_indexes:
+            return []
+        return self._nodes_from_opaque(
+            node_indexes, self._gather_nodes_dev(node_indexes))
+
+    def _gather_nodes_dev(self, node_indexes):
+        if not node_indexes:
+            return None
+        out, dev_flat, dev_slots = self._node_split(node_indexes)
+        rows = None
         if dev_flat:
             from ..ops.gather import gather_rows
+            n_sub = self.n // SUBTREE
             flat = self.sub_nodes.reshape(n_sub * SUBTREE, 8)
-            rows = np.ascontiguousarray(gather_rows(flat, dev_flat))
-            rows = rows.view(np.uint8).reshape(len(dev_flat), 32)
-            for slot, k in zip(dev_slots, range(len(dev_flat))):
-                out[slot] = rows[k].tobytes()
+            rows = gather_rows(flat, dev_flat)
+            if hasattr(rows, "copy_to_host_async"):
+                rows.copy_to_host_async()
+        return (out, dev_slots, rows)
+
+    def _nodes_from_opaque(self, node_indexes, opaque):
+        if opaque is None:
+            return []
+        out, dev_slots, rows = opaque
+        if rows is not None:
+            host = np.ascontiguousarray(np.asarray(rows))
+            host = host.view(np.uint8).reshape(len(dev_slots), 32)
+            for slot, k in zip(dev_slots, range(len(dev_slots))):
+                out[slot] = host[k].tobytes()
         return out

@@ -325,6 +325,34 @@ def cumsum(a, axis=0):
     return jax.lax.associative_scan(add, a, axis=axis)
 
 
+@jax.jit
+def inv_batch_scan(a):
+    """Montgomery-trick batched inversion over the flattened batch: two
+    log-depth cumulative products plus ONE Fermat chain on the total,
+    versus inv_batch's 127-squaring chain on EVERY element (the dominant
+    compute of the DEEP composition - measured ~0.5 s at 2^21 rows).
+
+    inv(a_i) = prefix_{i-1} * inv(total) * suffix_{i+1}; zeros are masked
+    to 1 for the scans and map back to 0 (inv_batch's convention)."""
+    shape = a.shape
+    flat = a.reshape(-1, 4)
+    zero_mask = _is_zero(flat)
+    one = jnp.zeros_like(flat).at[:, 0].set(1)
+    safe = jnp.where(zero_mask[:, None], one, flat)
+
+    prefix = jax.lax.associative_scan(mul, safe, axis=0)       # incl. prefix
+    total_inv = inv_batch(prefix[-1:])                          # one Fermat
+    suffix = jnp.flip(
+        jax.lax.associative_scan(mul, jnp.flip(safe, axis=0), axis=0), axis=0)
+
+    shifted_prefix = jnp.concatenate([one[:1], prefix[:-1]])    # prefix_{i-1}
+    shifted_suffix = jnp.concatenate([suffix[1:], one[:1]])     # suffix_{i+1}
+    inv = mul(mul(shifted_prefix, jnp.broadcast_to(total_inv, flat.shape)),
+              shifted_suffix)
+    inv = jnp.where(zero_mask[:, None], jnp.zeros_like(inv), inv)
+    return inv.reshape(shape)
+
+
 def sum_reduce(a, axis=0):
     """Modular sum along an axis (log-depth tree reduction)."""
     n = a.shape[axis]

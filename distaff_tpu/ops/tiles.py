@@ -353,7 +353,39 @@ def _apply_twiddles(bv, root_int, n1, n2, b):
     return out[:b]
 
 
+# jit the WHOLE four-step transform per (B, n) geometry when the input is
+# small enough: the eager recursion issues ~50-80 dispatches whose ~1 ms
+# tunnel latency each dominates the compute (measured 66-114 ms for a 2^21
+# transform whose pieces sum to ~23 ms).  One compiled program per geometry
+# collapses that to one dispatch; the geometry set per proof size is tiny
+# and the executables live in the machine-portable persistent cache.
+# Above the threshold (huge streaming domains) the eager recursion keeps
+# its bounded working set and host-side fences.
+_NTT_JIT_MAX = int(os.environ.get("DISTAFF_NTT_JIT_MAX_ELEMS", 1 << 25))
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _ntt_batched_traced(values, root_int):
+    return _ntt_batched_impl(values, root_int)
+
+
 def ntt_batched(values, root_int):
+    b, n = values.shape[0], values.shape[1]
+    root_int = int(root_int)
+    if (n > LEAF and 0 < b * n <= _NTT_JIT_MAX
+            and not isinstance(values, jax.core.Tracer)):
+        try:
+            on_accel = next(iter(values.devices())).platform != "cpu"
+        except Exception:
+            on_accel = False
+        # CPU keeps the eager recursion: local dispatch is cheap and CPU
+        # XLA's compile of the whole-transform graph is pathological
+        if on_accel:
+            return _ntt_batched_traced(values, root_int)
+    return _ntt_batched_impl(values, root_int)
+
+
+def _ntt_batched_impl(values, root_int):
     """Natural-order NTT of size n along axis 1 of (B, n, 4), batched over
     the MAJOR axis 0, built entirely from fixed-shape device kernels.
 

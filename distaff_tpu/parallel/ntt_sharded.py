@@ -73,8 +73,14 @@ def _ntt_sharded_impl(matrix, w_full, n1, n2, root_int, mesh):
     )(matrix, w_full)
 
 
+# sharding of the most recent transform's matrix OUTPUT (before the final
+# reshape to (n, 4), which re-replicates) - inspected by mesh tests
+LAST_SHARDING = None
+
+
 def ntt_sharded(x, mesh, root_int=None):
     """Natural-order NTT of (n, 4) limbs distributed over `mesh` ("shard" axis)."""
+    global LAST_SHARDING
     n = x.shape[0]
     if root_int is None:
         root_int = field.get_root_of_unity(n)
@@ -87,6 +93,7 @@ def ntt_sharded(x, mesh, root_int=None):
     w_full = fj.power_series(int(root_int), n)
 
     out = _ntt_sharded_impl(matrix, w_full, n1, n2, int(root_int), mesh)
+    LAST_SHARDING = out.sharding
     # Out[k1, k2] row-major is the natural-order result
     return out.reshape(n, 4)
 

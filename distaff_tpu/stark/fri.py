@@ -117,18 +117,29 @@ def build_proof(trees, values, positions):
     positions = list(positions)
     domain_size = trees[0].leaves().shape[0] * 4
 
-    layers = []
+    # phase 1: enqueue every layer's gathers (openings + queried rows) so
+    # all the device->host copies fly concurrently - a serial loop paid one
+    # ~25 ms tunnel round trip per transfer per layer
+    from ..ops.gather import gather_rows
+
+    pending = []
     for i in range(len(trees) - 1):
         positions = get_augmented_positions(positions, domain_size)
-        tree = trees[i]
-        proof = tree.prove_batch(positions)
-        # gather only the queried rows on device - the full layer is
-        # O(domain) and never needed on host
-        from ..ops.gather import gather_rows
-        rows_host = fj.to_ints(gather_rows(values[i], positions))  # (Q, 4) obj
-        queried = [[int(v) for v in rows_host[k]] for k in range(len(positions))]
-        layers.append(FriLayer(tree.root(), queried, proof.nodes, proof.depth))
+        rows_dev = gather_rows(values[i], positions)
+        if hasattr(rows_dev, "copy_to_host_async"):
+            rows_dev.copy_to_host_async()
+        pending.append(
+            (trees[i], trees[i].prove_batch_async(positions), rows_dev,
+             len(positions)))
         domain_size //= 4
+
+    # phase 2: materialize
+    layers = []
+    for tree, pending_proof, rows_dev, n_pos in pending:
+        proof = pending_proof.result()
+        rows_host = fj.to_ints(np.asarray(rows_dev))           # (Q, 4) obj
+        queried = [[int(v) for v in rows_host[k]] for k in range(n_pos)]
+        layers.append(FriLayer(tree.root(), queried, proof.nodes, proof.depth))
 
     last_values = fj.to_ints(np.asarray(values[-1]))  # (q, 4) object
     q = last_values.shape[0]

@@ -111,16 +111,20 @@ def prove(trace, inputs, outputs, options):
 
     # 9 ----- proof object -----------------------------------------------------------------------
     now = time.time()
+    # enqueue the trace/constraint tree openings FIRST so their transfers
+    # overlap the FRI layer gathers below
+    constraint_positions = utils.map_trace_to_constraint_positions(positions)
+    trace_opening = trace_tree.prove_batch_async(positions)
+    constraint_opening = constraint_tree.prove_batch_async(constraint_positions)
     fri_proof = fri.build_proof(fri_trees, fri_values, positions)
     trace_evaluations = trace.get_register_values_at(positions)
-    constraint_positions = utils.map_trace_to_constraint_positions(positions)
 
     proof = StarkProof(
         trace_tree.root(),
-        trace_tree.prove_batch(positions),
+        trace_opening.result(),
         trace_evaluations,
         constraint_tree.root(),
-        constraint_tree.prove_batch(constraint_positions),
+        constraint_opening.result(),
         deep_values,
         fri_proof,
         pow_nonce,
@@ -643,9 +647,10 @@ def _poly_eval_rows(polys, x_int):
     return _poly_eval_rows_multi(polys, [x_int])[0]
 
 
-@_jax.jit
+@functools.partial(_jax.jit, static_argnums=(15,))
 def _compose_tiles_batched(a1, a2, c_t, root4, prefixes, z4, nz4, s1, s2,
-                           c_at_z, k1, k2, kc, incr_base, incr_prefixes):
+                           c_at_z, k1, k2, kc, incr_base, incr_prefixes,
+                           use_scan_inv=False):
     """A batch of fixed-shape domain tiles of the DEEP composition in ONE
     dispatch: (T, TILE, 4) operands with (T, 4) per-tile x / x^incr
     prefixes (host pow()s shipped in one transfer - per-tile constants cost
@@ -659,7 +664,10 @@ def _compose_tiles_batched(a1, a2, c_t, root4, prefixes, z4, nz4, s1, s2,
     xs = fj.mul(jnp.broadcast_to(ps[None], shape), prefixes[:, None, :])
     xz = fj.sub(xs, jnp.broadcast_to(z4, shape))
     xnz = fj.sub(xs, jnp.broadcast_to(nz4, shape))
-    w = fj.inv_batch(fj.mul(xz, xnz))
+    # scan inverse on accelerators (3x less work than Fermat); Fermat on
+    # CPU, whose XLA compile of the log-depth scan graph is pathological
+    inv = fj.inv_batch_scan if use_scan_inv else fj.inv_batch
+    w = inv(fj.mul(xz, xnz))
     u = fj.mul(w, xnz)
     v = fj.mul(w, xz)
 
@@ -777,13 +785,15 @@ def _build_composition_evaluations(trace, constraint_poly, constraint_lde, z, cc
     (root4, z4, nz4, s1_4, s2_4, caz4, k1, k2, kc, incr4) = consts
 
     batch = max(1, int(os.environ.get("DISTAFF_COMPOSE_TILES", 32)))
+    use_scan_inv = any(d.platform != "cpu" for d in a1.devices())
     parts = []
     for lo in range(0, n_tiles, batch):
         hi = min(lo + batch, n_tiles)
         parts.append(_compose_tiles_batched(
             a1_t[lo:hi], a2_t[lo:hi], c_t[lo:hi],
             root4, x_prefixes[lo:hi], z4, nz4, s1_4, s2_4, caz4,
-            k1, k2, kc, incr4, i_prefixes[lo:hi]).reshape(-1, 4))
+            k1, k2, kc, incr4, i_prefixes[lo:hi],
+            use_scan_inv).reshape(-1, 4))
     composed = (parts[0] if len(parts) == 1 else jnp.concatenate(parts))[:n]
 
     deep_values = DeepValues(trace_state1, trace_state2)
