@@ -141,9 +141,10 @@ def main():
     inputs = ProgramInputs.from_public([1, 0])
     options = ProofOptions()  # default: ext 32, 50 queries, grind 20 (120-bit)
 
-    def predicted_cost(elapsed):
-        # next rung = 4x the data (~4-5x the time) plus a cache-load buffer
-        return 5.0 * elapsed + 60.0
+    def predicted_cost(steady):
+        # next rung = 4x the data (~4-5x the steady time) plus an
+        # executable-load/lowering buffer for its fresh geometries
+        return 4.5 * steady + 60.0
 
     prev_elapsed = None
     for i, log2_trace in enumerate(sizes):
@@ -169,19 +170,21 @@ def main():
             break
 
         # record the warm-up measurement immediately (the watchdog can then
-        # never lose this rung), then overwrite with a steady-state re-run
-        # when the budget allows - steady <= warm, and with a pre-warmed
-        # persistent cache warm ~ steady anyway.  The re-run must not eat
-        # the next rung's budget: prefer ATTEMPTING 2^20 over polishing
-        # 2^18 (round-3 failure mode), except when the next rung is already
-        # infeasible - then the re-run is the best remaining use of time.
+        # never lose this rung), then overwrite with a steady-state re-run.
+        # The FIRST rung's warm time is dominated by one-time process costs
+        # (device bring-up, host-side lowering, cache-executable loads) that
+        # say nothing about the re-run cost, so the probe rung re-runs
+        # whenever any real budget remains - the watchdog protects the
+        # recorded value.  Later rungs share those costs in-process, so
+        # their warm time IS a fair re-run bound.
+        # a re-run costs ~the steady time, which the warm time wildly
+        # overstates whenever this rung loaded fresh geometry executables
+        # (measured: 191 s warm vs 16 s steady at 2^18) - estimate it from
+        # the PREVIOUS rung's steady time instead (4-5x data scaling)
         elapsed = warm
         _record(log2_trace, elapsed, warm)
-        next_feasible = (
-            i + 1 < len(sizes) and _remaining() - 1.2 * warm > predicted_cost(elapsed))
-        last_rung = i + 1 >= len(sizes) or not next_feasible
-        if (next_feasible and _remaining() - 1.2 * warm > predicted_cost(elapsed)) \
-                or (last_rung and _remaining() > 30.0):
+        rerun_estimate = 45.0 if prev_elapsed is None else 4.5 * prev_elapsed + 15.0
+        if _remaining() > max(45.0, rerun_estimate):
             try:
                 t0 = time.time()
                 outputs, proof = distaff_tpu.execute(program, inputs, 1, options)

@@ -181,6 +181,32 @@ def _wsum_full(lde, w):
     return fj.sum_reduce(fj.mul(lde, w[:, None, :]), axis=0)
 
 
+def compose_sharded_from_sums(a1, a2, constraint_lde, z, cc_obj, s1, s2,
+                              c_at_z, mesh, trace_length):
+    """Row-sharded DEEP composition from precomputed weighted register sums
+    (the streaming path extends A1/A2 in coefficient space - the full LDE
+    never exists - then composes here with the same full-domain kernel)."""
+    from ..stark import utils as stark_utils
+
+    n = a1.shape[0]
+    a1 = jax.device_put(a1, rows2(mesh))
+    a2 = jax.device_put(a2, rows2(mesh))
+    c_lde = jax.device_put(constraint_lde, rows2(mesh))
+    _record("composition", c_lde)
+
+    g = field.get_root_of_unity(trace_length)
+    next_z = field.mul(z, g)
+    incr = stark_utils.get_incremental_trace_degree(trace_length)
+    root = field.get_root_of_unity(n)
+
+    return _compose_full(
+        a1, a2, c_lde,
+        fj.constant(root), fj.constant(z), fj.constant(next_z),
+        fj.constant(s1), fj.constant(s2), fj.constant(c_at_z),
+        fj.constant(cc_obj.t1_degree), fj.constant(cc_obj.t2_degree),
+        fj.constant(cc_obj.constraints), fj.constant(field.exp(root, incr)))
+
+
 def compose_sharded(trace, constraint_lde, z, cc_obj, s1, s2, c_at_z, mesh):
     """Row-sharded DEEP composition evaluations (mesh analogue of
     prover._build_composition_evaluations' tile loop)."""

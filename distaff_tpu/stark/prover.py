@@ -242,11 +242,22 @@ def _evaluate_constraints_columnar(evaluator, trace, debug_check=True):
 
 
 def _mesh_for_transform(n):
-    """The configured mesh, if the size-n four-step split divides it."""
+    """The configured mesh, if the size-n four-step split divides it and
+    sharded transforms are enabled.
+
+    DISTAFF_MESH_NTT: "auto" (default) shards column transforms on real
+    accelerator meshes only - the virtual CPU mesh pays minutes of CPU-XLA
+    compile per sharded-NTT graph, so tests that validate this path force
+    "1" explicitly; "0" disables."""
     from ..parallel.mesh import configured_mesh
 
     mesh = configured_mesh()
     if mesh is None:
+        return None
+    mode = os.environ.get("DISTAFF_MESH_NTT", "auto")
+    if mode == "0":
+        return None
+    if mode != "1" and all(d.platform == "cpu" for d in mesh.devices.flat):
         return None
     n1 = 1 << ((n.bit_length() - 1) // 2)
     return mesh if n1 % mesh.devices.size == 0 else None
@@ -268,7 +279,9 @@ def _extend_column_dev(padded, root_int, stage):
         from ..parallel import mesh_stages
 
         out = ns.ntt_sharded(padded, mesh, root_int)
-        mesh_stages.RECORDED_SHARDINGS[stage] = out.sharding
+        # record the transform's matrix sharding (the final reshape to
+        # (n, 4) re-replicates eagerly)
+        mesh_stages.RECORDED_SHARDINGS[stage] = ns.LAST_SHARDING
         return out
     return tiles.ntt(padded, root_int)
 
@@ -507,7 +520,9 @@ def _combine_constraint_polys(evaluator, i_evals, f_evals, t_evals, trace_length
         i_poly = ns.intt_sharded(_to_limbs(i_evals), mesh, ev_root)
         f_poly = ns.intt_sharded(_to_limbs(f_evals), mesh, ev_root)
         t_poly = ns.intt_sharded(_to_limbs(t_evals), mesh, ev_root)
-        mesh_stages.RECORDED_SHARDINGS["constraint_intt"] = i_poly.sharding
+        # record the transform's matrix sharding (the final reshape to
+        # (n, 4) re-replicates eagerly)
+        mesh_stages.RECORDED_SHARDINGS["constraint_intt"] = ns.LAST_SHARDING
     elif evaluator.domain_size >= (1 << 23):
         # huge domains: three separate iNTTs with a fence between them -
         # the async eager NTT chain holds ~10 full-size intermediates, and
@@ -601,7 +616,11 @@ def _poly_eval_rows_multi(polys, x_ints):
     from ..ops import tiles
 
     r, length = polys.shape[0], polys.shape[1]
-    rg, t = tiles._RGROUP, tiles.TILE
+    # tile no wider than the (power-of-two) poly length: padding a 128-row
+    # trace poly to the 2^16 production tile wastes 512x the work and hands
+    # CPU XLA a pathologically large kernel to compile
+    rg = tiles._RGROUP
+    t = min(tiles.TILE, 1 << max(length - 1, 1).bit_length())
     p_total = len(x_ints)
     pc = min(16, max(1, p_total))
     n_tiles = (length + t - 1) // t
@@ -754,6 +773,17 @@ def _build_composition_evaluations(trace, constraint_poly, constraint_lde, z, cc
         s1 = (s1 + trace_state1[i] * cc.trace1[i]) % M
         s2 = (s2 + trace_state2[i] * cc.trace2[i]) % M
     c_at_z = polynom_eval_dev(constraint_poly, z)
+
+    if mesh is not None and n % mesh.devices.size == 0:
+        # streaming + mesh: compose from the re-extended weighted sums with
+        # the full-domain row-sharded kernel (the tile-loop kernel's CPU
+        # compile at production tile sizes is pathological on virtual
+        # meshes, and the full-domain kernel shards on real pods anyway)
+        from ..parallel import mesh_stages
+
+        composed = mesh_stages.compose_sharded_from_sums(
+            a1, a2, constraint_lde, z, cc, s1, s2, c_at_z, mesh, trace_length)
+        return composed, DeepValues(trace_state1, trace_state2)
 
     incr = utils.get_incremental_trace_degree(trace_length)
     root = field.get_root_of_unity(n)

@@ -111,24 +111,10 @@ class TraceTable:
         else:
             regs = fj.from_ints(np.array(self.registers, dtype=object))  # (R, N, 4)
 
-        # multi-chip: shard the register axis over the configured mesh (the
-        # per-register NTTs need zero communication; pointwise downstream
-        # stages repartition as XLA sees fit).  Zero-pad registers so the
-        # axis divides the mesh - pad rows extend to zero rows and are
-        # sliced off below, so proofs are bit-identical to single-device
         from ..parallel.mesh import configured_mesh
 
         r_count = regs.shape[0]
         mesh = configured_mesh()
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            n_dev = mesh.devices.size
-            padded_r = ((r_count + n_dev - 1) // n_dev) * n_dev
-            if padded_r != r_count:
-                regs = jnp.concatenate(
-                    [regs, jnp.zeros((padded_r - r_count, n, 4), dtype=jnp.uint32)])
-            regs = jax.device_put(regs, NamedSharding(mesh, P("shard", None, None)))
 
         import os
         # streaming mode: when the full LDE wouldn't fit HBM alongside the
@@ -151,6 +137,10 @@ class TraceTable:
             stream_env == "1"
             or (stream_env == "auto" and lde_bytes > budget_total))
         if self.streaming:
+            # the polys are trace-sized (tiny next to the LDE) and stay
+            # UNSHARDED even under a mesh: sharding happens inside the
+            # per-register streaming NTTs (_stream_commit), whose domain
+            # axis is what actually exceeds one device
             from ..ops import tiles
             root_n = field.get_root_of_unity(n)
             parts_p = []
@@ -166,6 +156,21 @@ class TraceTable:
                      else jnp.concatenate(parts_p))[: self._register_count]
             self.polys_dev = polys
             return
+
+        # multi-chip (materialized LDE): shard the register axis over the
+        # mesh (the per-register NTTs need zero communication; pointwise
+        # downstream stages repartition as XLA sees fit).  Zero-pad
+        # registers so the axis divides the mesh - pad rows extend to zero
+        # rows and are sliced off below, so proofs are bit-identical
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = mesh.devices.size
+            padded_r = ((r_count + n_dev - 1) // n_dev) * n_dev
+            if padded_r != r_count:
+                regs = jnp.concatenate(
+                    [regs, jnp.zeros((padded_r - r_count, n, 4), dtype=jnp.uint32)])
+            regs = jax.device_put(regs, NamedSharding(mesh, P("shard", None, None)))
 
         if mesh is None and os.environ.get("DISTAFF_TILED", "1") != "0":
             polys, lde = self._extend_tiled(regs, n, domain)
@@ -304,7 +309,9 @@ class TraceTable:
             padded = padded.at[:, :n].set(self.polys_dev[r : r + 1])
             if mesh is not None:
                 lde_r = ns.ntt_sharded(padded[0], mesh, root_d)  # (D, 4)
-                mesh_stages.RECORDED_SHARDINGS["stream_ntt"] = lde_r.sharding
+                # record the transform's matrix sharding (the final (D, 4)
+                # reshape re-replicates eagerly)
+                mesh_stages.RECORDED_SHARDINGS["stream_ntt"] = ns.LAST_SHARDING
             else:
                 lde_r = tiles.ntt_batched(padded, root_d)[0]     # (D, 4)
             slice_parts.append(lde_r[None, ::stride])

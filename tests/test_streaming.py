@@ -92,6 +92,7 @@ def test_stream_mesh_prove_bit_identical(monkeypatch):
     mesh_stages.RECORDED_SHARDINGS.clear()
     monkeypatch.setenv("DISTAFF_MESH_DEVICES", "4")
     monkeypatch.setenv("DISTAFF_STREAM_LDE", "1")
+    monkeypatch.setenv("DISTAFF_MESH_NTT", "1")  # force on the CPU mesh
     outputs2, proof2 = distaff_tpu.execute(program, inputs, 1, options)
 
     assert outputs1 == outputs2
