@@ -82,14 +82,23 @@ def initialize_distributed():
         return False
     import jax
 
-    _DISTRIBUTED = True
     if coord:
+        nproc = os.environ.get("DISTAFF_NUM_PROCESSES")
+        pid = os.environ.get("DISTAFF_PROCESS_ID")
+        if nproc is None or pid is None:
+            raise RuntimeError(
+                "DISTAFF_COORDINATOR is set but DISTAFF_NUM_PROCESSES / "
+                "DISTAFF_PROCESS_ID are not; all three are required for an "
+                "explicit multi-host rendezvous")
         jax.distributed.initialize(
             coordinator_address=coord,
-            num_processes=int(os.environ["DISTAFF_NUM_PROCESSES"]),
-            process_id=int(os.environ["DISTAFF_PROCESS_ID"]))
+            num_processes=int(nproc),
+            process_id=int(pid))
     else:
         jax.distributed.initialize()
+    # only mark joined once initialize() succeeded - a raise above must
+    # leave the next call able to retry rather than report success
+    _DISTRIBUTED = True
     return True
 
 

@@ -26,8 +26,11 @@ VPU work under XLA - the u32 multiply chain caps the radix-2 butterfly at
   SINGLE field multiply, while the leaf's 128 multiplies per element ride
   the MXU.
 
-Bit-exact with ops/tiles._leaf_ntt_tile (tests/test_mxu_ntt.py); enabled on
-TPU with DISTAFF_MXU_LEAF=auto|1 (see ops/tiles.py).
+Bit-exact with ops/tiles._leaf_ntt_tile (tests/test_mxu_ntt.py).  Status:
+an UNWIRED experiment - nothing on the prover path dispatches here (only
+benchmarks.py and its test).  Measured 0.46 Gbf/s at (8192, 256) vs the
+XLA path's 0.74 (DESIGN.md section 8.2): the VPU digit reduction and the
+layout transposes currently eat the MXU win.
 """
 
 import functools

@@ -36,6 +36,7 @@ exercise multi-tile and recursion paths on tiny inputs):
     DISTAFF_NTT_BTILE  leaf batch columns per tile    (default 2^9)
 """
 
+import collections
 import functools
 import os
 
@@ -51,9 +52,21 @@ M = hostfield.M
 TILE = int(os.environ.get("DISTAFF_TILE", 1 << 16))
 LEAF = int(os.environ.get("DISTAFF_NTT_LEAF", 1 << 10))
 BTILE = int(os.environ.get("DISTAFF_NTT_BTILE", 1 << 9))
+# canonical NTT geometry (round 5): transforms of size <= NCAP run directly
+# on ONE fixed-shape kernel per size (batch tiled to CANON_ELEMS/n rows);
+# larger transforms take one eager four-step level with n2 = NCAP.  The
+# executable set is therefore keyed by n alone - every trace length shares
+# it, which is what lets a 2^18/2^20 proof start with zero fresh
+# whole-transform executable loads after any smaller proof (the round-4
+# per-(batch, n) whole-transform jits produced 58-227 MB executables whose
+# per-rung loads ate the bench budget).
+NCAP = int(os.environ.get("DISTAFF_NTT_CANON_MAX", 1 << 15))
+CANON_ELEMS = int(os.environ.get("DISTAFF_NTT_CANON_ELEMS", 1 << 21))
 
 assert TILE & (TILE - 1) == 0 and LEAF & (LEAF - 1) == 0
 assert BTILE & (BTILE - 1) == 0
+assert NCAP & (NCAP - 1) == 0 and CANON_ELEMS & (CANON_ELEMS - 1) == 0
+assert NCAP >= LEAF and CANON_ELEMS >= NCAP
 
 # DISTAFF_PALLAS_LEAF routes leaf transforms (>= 256 points) through the
 # fused-in-VMEM Pallas kernel (ops/field_pallas.leaf_ntt_bm); values are
@@ -353,46 +366,151 @@ def _apply_twiddles(bv, root_int, n1, n2, b):
     return out[:b]
 
 
-# jit the WHOLE four-step transform per (B, n) geometry when the input is
-# small enough: the eager recursion issues ~50-80 dispatches whose ~1 ms
-# tunnel latency each dominates the compute (measured 66-114 ms for a 2^21
-# transform whose pieces sum to ~23 ms).  One compiled program per geometry
-# collapses that to one dispatch; the geometry set per proof size is tiny
-# and the executables live in the machine-portable persistent cache.
-# Above the threshold (huge streaming domains) the eager recursion keeps
-# its bounded working set and host-side fences.
-_NTT_JIT_MAX = int(os.environ.get("DISTAFF_NTT_JIT_MAX_ELEMS", 1 << 25))
+# ------------------------------------------------------------------------------------------------
+# canonical NTT kernels: one fixed-shape executable per transform SIZE
+# ------------------------------------------------------------------------------------------------
+#
+# Twiddle tables are built once per (size, root) and cached as device
+# arrays: rebuilding them per call cost b*n*log2(n2) multiplies per
+# four-step level - MORE compute than the butterflies themselves - and the
+# streaming 2^20 path repeats the same (1, 2^25) geometry ~27 times per
+# proof.  The cache is LRU with a byte budget so huge tables can't starve
+# HBM.
+
+_TW_BUDGET = int(os.environ.get("DISTAFF_TWIDDLE_CACHE_BYTES", 1 << 30))
+_tw_cache = collections.OrderedDict()
+_tw_bytes = [0]
+
+
+def _tw_get(key, build):
+    hit = _tw_cache.pop(key, None)
+    if hit is not None:
+        _tw_cache[key] = hit
+        return hit
+    val = build()
+    _tw_cache[key] = val
+    _tw_bytes[0] += val.size * 4
+    while _tw_bytes[0] > _TW_BUDGET and len(_tw_cache) > 1:
+        _, old = _tw_cache.popitem(last=False)
+        _tw_bytes[0] -= old.size * 4
+    return val
+
+
+def _stage_table(n, root_int):
+    """Cached (levels, n/2, 4) Pease stage-twiddle table for size n."""
+    def build():
+        tw = power_series(root_int, n // 2)
+        return fj._stage_twiddles(tw)
+    return _tw_get(("stage", n, int(root_int)), build)
+
+
+_TGROUP_BUILD = 64
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
-def _ntt_batched_traced(values, root_int):
-    return _ntt_batched_impl(values, root_int)
+def _twiddle_rows_tile(bases, n2):
+    """(G, 4) bases -> (G, n2, 4) rows of power series (table builder)."""
+    return jax.vmap(lambda bx: fj.power_series_dev(bx, n2))(bases)
+
+
+def _four_step_table(n1, n2, root_int):
+    """Cached (n1, n2, 4) table of w^(k1*j2) for the four-step twiddle."""
+    def build():
+        w = int(root_int)
+        parts = []
+        for lo in range(0, n1, _TGROUP_BUILD):
+            rows = min(_TGROUP_BUILD, n1 - lo)
+            ints = [pow(w, k1, M) for k1 in range(lo, lo + rows)]
+            ints += [0] * (_TGROUP_BUILD - rows)
+            bases = fj.from_ints(np.array(ints, dtype=object))
+            parts.append(_twiddle_rows_tile(bases, n2)[:rows])
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    return _tw_get(("four", n1, n2, int(root_int)), build)
+
+
+def _bitrev_bm(x, n):
+    """Bit-reversal along axis 1 of (B, n, 4) without one big gather: for
+    n > 1024 split the index bits (two small row gathers + one transpose,
+    the batch-major analogue of field_jax._bitrev_permute)."""
+    if n <= 1024:
+        return x[:, jnp.asarray(fj._bitrev_indices(n))]
+    bits = n.bit_length() - 1
+    a_bits = bits // 2
+    a, bb = 1 << a_bits, n >> a_bits
+    y = x.reshape(x.shape[0], a, bb, 4)
+    y = y[:, jnp.asarray(fj._bitrev_indices(a))]
+    y = y[:, :, jnp.asarray(fj._bitrev_indices(bb))]
+    return y.transpose(0, 2, 1, 3).reshape(x.shape[0], n, 4)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _pease_tile(values, W, n):
+    """Natural-order NTT of size n along axis 1 of a (CB, n, 4) tile with a
+    PREBUILT stage table W ((levels, n/2, 4)).  W is a runtime argument, so
+    one executable per n serves every root (forward and inverse) and every
+    trace geometry."""
+    b = values.shape[0]
+    levels = n.bit_length() - 1
+
+    def body(s, x):
+        a = x[:, : n // 2]
+        c = x[:, n // 2 :]
+        w = jax.lax.dynamic_index_in_dim(W, s, axis=0, keepdims=False)[None]
+        even = fj.add(a, c)
+        odd = fj.mul(fj.sub(a, c), jnp.broadcast_to(w, a.shape))
+        return jnp.stack([even, odd], axis=2).reshape(b, n, 4)
+
+    out = jax.lax.fori_loop(0, levels, body, values)
+    return _bitrev_bm(out, n)
+
+
+def _canon_ntt(values, root_int):
+    """(B, n, 4) -> natural-order NTT along axis 1 for n <= NCAP: the batch
+    is padded to the canonical tile CB(n) = CANON_ELEMS/n, so the kernel is
+    keyed by n alone."""
+    b, n = values.shape[0], values.shape[1]
+    if n == 1:
+        return values
+    cb = max(1, CANON_ELEMS // n)
+    rem = (-b) % cb
+    if rem:
+        values = jnp.concatenate(
+            [values, jnp.zeros((rem, n, 4), dtype=jnp.uint32)], axis=0)
+    if 256 <= n <= LEAF and _pallas_leaf_enabled(values):
+        from .field_pallas import leaf_ntt_bm
+        tw = power_series(root_int, n // 2)
+        parts = [leaf_ntt_bm(values[lo : lo + cb], tw)
+                 for lo in range(0, values.shape[0], cb)]
+        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        return out[:b]
+    W = _stage_table(n, root_int)
+    parts = [_pease_tile(values[lo : lo + cb], W, n)
+             for lo in range(0, values.shape[0], cb)]
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    return out[:b]
 
 
 def ntt_batched(values, root_int):
     b, n = values.shape[0], values.shape[1]
     root_int = int(root_int)
-    if (n > LEAF and 0 < b * n <= _NTT_JIT_MAX
-            and not isinstance(values, jax.core.Tracer)):
-        try:
-            on_accel = next(iter(values.devices())).platform != "cpu"
-        except Exception:
-            on_accel = False
-        # CPU keeps the eager recursion: local dispatch is cheap and CPU
-        # XLA's compile of the whole-transform graph is pathological
-        if on_accel:
-            return _ntt_batched_traced(values, root_int)
+    if isinstance(values, jax.core.Tracer):
+        # under tracing (mesh stages, dryrun graphs) concrete cached tables
+        # would embed as giant graph constants; the inline-twiddle recursion
+        # stays fully traceable
+        return _ntt_batched_inline(values, root_int)
     return _ntt_batched_impl(values, root_int)
 
 
 def _ntt_batched_impl(values, root_int):
     """Natural-order NTT of size n along axis 1 of (B, n, 4), batched over
-    the MAJOR axis 0, built entirely from fixed-shape device kernels.
+    the MAJOR axis 0, built entirely from canonical fixed-shape kernels.
 
-    Bailey four-step with a fixed leaf size (reference src/math/fft.rs is
-    the radix-2 recursion this replaces): split n = n1 * n2 (n2 = LEAF),
-    row transforms of size n2, twiddle by w^(k1*j2), then recurse on the
-    size-n1 column transforms with the batch folded in.
+    Bailey four-step (reference src/math/fft.rs is the radix-2 recursion
+    this replaces): sizes <= NCAP dispatch straight to the per-size Pease
+    kernel; larger sizes split n = n1 * n2 with n2 = NCAP - row transforms
+    ride the canonical kernels, the twiddle w^(k1*j2) is ONE elementwise
+    multiply by the cached table, and the size-n1 column transforms recurse
+    (n1 <= 2^10 for every production geometry up to 2^25).
 
     The batch-MAJOR orientation is load-bearing for HBM: every inter-kernel
     reshape here regroups major axes (or transposes two large axes) with
@@ -402,13 +520,38 @@ def _ntt_batched_impl(values, root_int):
     (measured 32x HBM expansion -> OOM at 2^18 traces)."""
     b, n = values.shape[0], values.shape[1]
     root_int = int(root_int)
+    if n <= NCAP:
+        return _canon_ntt(values, root_int)
+
+    n2 = NCAP
+    n1 = n // n2
+
+    # split k = k2*n1 + k1: a2[b, k2, k1] = a[b, k2*n1 + k1]
+    a2 = values.reshape(b, n2, n1, 4)
+    t = a2.transpose(0, 2, 1, 3)                      # [b, k1, k2]
+    bv = _canon_ntt(t.reshape(b * n1, n2, 4),
+                    pow(root_int, n1, M))             # NTT over k2 -> j2
+    bv = bv.reshape(b, n1, n2, 4)                     # [b, k1, j2]
+    tw4 = _four_step_table(n1, n2, root_int)
+    bv = fj.mul(bv, tw4[None])                        # *= w^(k1*j2)
+
+    cin = bv.transpose(0, 2, 1, 3).reshape(b * n2, n1, 4)  # [b, j2, k1]
+    c = _ntt_batched_impl(cin, pow(root_int, n2, M))  # size-n1 -> [b, j2, j1]
+    return (c.reshape(b, n2, n1, 4).transpose(0, 2, 1, 3)  # [b, j1, j2]
+            .reshape(b, n, 4))                        # j = j1*n2 + j2
+
+
+def _ntt_batched_inline(values, root_int):
+    """Traced-fallback four-step recursion with inline twiddles (no cached
+    device tables): same field values as _ntt_batched_impl."""
+    b, n = values.shape[0], values.shape[1]
+    root_int = int(root_int)
     if n <= LEAF:
         return _leaf_ntt(values, root_int)
 
     n2 = LEAF
     n1 = n // n2
 
-    # split k = k2*n1 + k1: a2[b, k2, k1] = a[b, k2*n1 + k1]
     a2 = values.reshape(b, n2, n1, 4)
     t = a2.transpose(0, 2, 1, 3)                      # [b, k1, k2]
     bv = _leaf_ntt(t.reshape(b * n1, n2, 4),
@@ -417,9 +560,56 @@ def _ntt_batched_impl(values, root_int):
     bv = _apply_twiddles(bv, root_int, n1, n2, b)     # *= w^(k1*j2)
 
     cin = bv.transpose(0, 2, 1, 3).reshape(b * n2, n1, 4)  # [b, j2, k1]
-    c = ntt_batched(cin, pow(root_int, n2, M))        # size-n1 -> [b, j2, j1]
+    c = _ntt_batched_inline(cin, pow(root_int, n2, M))
     return (c.reshape(b, n2, n1, 4).transpose(0, 2, 1, 3)  # [b, j1, j2]
             .reshape(b, n, 4))                        # j = j1*n2 + j2
+
+
+def warm_kernels():
+    """Dispatch every canonical NTT kernel once on tiny data so a fresh
+    process pays all executable loads up front (ideally overlapping the
+    one-time TPU bring-up), and a proof at ANY trace geometry afterwards
+    loads no new transform executables.  Enqueues asynchronously; callers
+    that need a completion fence should fetch a result themselves."""
+    n = 2
+    while n <= NCAP:
+        root = hostfield.get_root_of_unity(n)
+        _canon_ntt(jnp.zeros((1, n, 4), dtype=jnp.uint32), root)
+        n <<= 1
+    _twiddle_rows_tile(
+        jnp.zeros((_TGROUP_BUILD, 4), dtype=jnp.uint32), NCAP)
+    _suf_tile(jnp.zeros((TILE, 4), dtype=jnp.uint32))
+
+
+# ------------------------------------------------------------------------------------------------
+# suffix sums (constraint-polynomial synthetic divisions)
+# ------------------------------------------------------------------------------------------------
+
+@jax.jit
+def _suf_tile(x):
+    """Inclusive suffix sums within one (TILE, 4) tile."""
+    return jnp.flip(fj.cumsum(jnp.flip(x, axis=0), axis=0), axis=0)
+
+
+def suffix_sums(w):
+    """Inclusive modular suffix sums over axis 0 of (n, 4): fixed-shape
+    per-tile scans plus a tiny cross-tile combine, replacing the former
+    whole-domain associative scan whose per-geometry executables reached
+    123 MB (a fresh load per trace size)."""
+    n = w.shape[0]
+    padded, _ = _pad_rows(w, TILE)       # trailing zero rows leave suffix sums unchanged
+    nt = padded.shape[0] // TILE
+    parts = [_suf_tile(padded[lo : lo + TILE])
+             for lo in range(0, padded.shape[0], TILE)]
+    if nt == 1:
+        return parts[0][:n]
+    totals = jnp.stack([p[0] for p in parts])                  # (nt, 4)
+    suf_tot = jnp.flip(fj.cumsum(jnp.flip(totals, axis=0), axis=0), axis=0)
+    after = jnp.concatenate(
+        [suf_tot[1:], jnp.zeros((1, 4), dtype=jnp.uint32)])    # (nt, 4)
+    out = [fj.add(parts[t], jnp.broadcast_to(after[t], (TILE, 4)))
+           for t in range(nt)]
+    return jnp.concatenate(out)[:n]
 
 
 def ntt(values, root_int=None):

@@ -452,7 +452,11 @@ def _object_powers(b, n):
 
 
 def _incl_suffix_sums(w, axis=0):
-    """s_i = sum_{j >= i} w_j along an axis (device, log-depth scan)."""
+    """s_i = sum_{j >= i} w_j along an axis (device, log-depth scan).
+
+    Only used for SHORT scan axes (the stride-`degree` divisor's length-8
+    axis); full-domain suffix sums go through tiles.suffix_sums, whose
+    fixed-tile kernels are shared by every trace geometry."""
     return jnp.flip(fj.cumsum(jnp.flip(w, axis=axis), axis=axis), axis=axis)
 
 
@@ -461,19 +465,19 @@ def _syn_div_dev(poly, b):
 
     Same power-weighted suffix-sum reformulation as _syn_div_column:
     T_i = b^{-i} * sum_{j >= i} a_j b^j and result[i] = T_{i+1}.  The b and
-    1/b power series take traced bases to stay off XLA's compile-time
-    constant folder."""
+    1/b power series ride the fixed-tile builders (host-int bases)."""
+    from ..ops import tiles
+
     n = poly.shape[0]
     zero = jnp.zeros((1, 4), dtype=jnp.uint32)
     if b == 1:
-        s = _incl_suffix_sums(poly)
+        s = tiles.suffix_sums(poly)
         return jnp.concatenate([s[1:], zero])
-    w = fj.mul(poly, fj.power_series_dev(fj.constant(b), n))
-    s = _incl_suffix_sums(w)
+    w = fj.mul(poly, tiles.power_series(b, n))
+    s = tiles.suffix_sums(w)
     s_next = jnp.concatenate([s[1:], zero])                  # s_{i+1}
     b_inv = field.inv(b)
-    pbinv = fj.mul(fj.power_series_dev(fj.constant(b_inv), n),
-                   jnp.broadcast_to(fj.constant(b_inv), (n, 4)))  # b^{-(i+1)}
+    pbinv = tiles.scale(tiles.power_series(b_inv, n), b_inv)  # b^{-(i+1)}
     return fj.mul(s_next, pbinv)
 
 

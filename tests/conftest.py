@@ -7,6 +7,8 @@ import pathlib
 os.environ.setdefault("DISTAFF_TILE", "256")
 os.environ.setdefault("DISTAFF_NTT_LEAF", "16")
 os.environ.setdefault("DISTAFF_NTT_BTILE", "8")
+os.environ.setdefault("DISTAFF_NTT_CANON_MAX", "64")
+os.environ.setdefault("DISTAFF_NTT_CANON_ELEMS", "512")
 os.environ.setdefault("DISTAFF_NTT_TGROUP", "4")
 os.environ.setdefault("DISTAFF_NTT_TBATCH", "2")
 os.environ.setdefault("DISTAFF_MERKLE_SUBTREE", "64")

@@ -12,7 +12,9 @@ from distaff_tpu.stark.trace_table import TraceTable
 from distaff_tpu.stark.constraints.evaluator import Evaluator
 from distaff_tpu.stark import prover
 
-pytestmark = pytest.mark.heavy  # full proofs / mesh / compile-heavy
+# module default is the CORE tier (the AIR vanishing/corruption oracles are
+# the protocol's soundness harness); only the device-kernel parity test
+# below is heavy (its op-by-op disable_jit sweep takes ~4 min on CPU)
 
 
 PROGRAMS = [
@@ -130,6 +132,7 @@ def test_jax_col_int_coercion_and_mod():
     assert list(fj.to_ints(np.asarray(r.arr))) == [(7 * v) % M for v in vals]
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("src,inputs", PROGRAMS[:1])
 def test_device_transition_matches_host(src, inputs):
     """The device AIR path (device_eval._transition_kernel - the kernel that

@@ -14,7 +14,8 @@ import distaff_tpu
 from distaff_tpu import assembly, ProgramInputs, ProofOptions
 from distaff_tpu.stark import serde
 
-pytestmark = pytest.mark.heavy  # full proofs / mesh / compile-heavy
+# core tier: the golden-transcript regression is the cheapest whole-protocol
+# signal (one small proof, ~80 s on CPU) and belongs in every default run
 
 GOLDEN_SHA256 = "876d9f49cddbe11a3b360c04245d3b29712b6309a1eb446af835b123c729c842"
 GOLDEN_LEN = 12926

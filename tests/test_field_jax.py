@@ -8,7 +8,8 @@ import pytest
 from distaff_tpu.math import field, polynom
 from distaff_tpu.math import field_jax as fj
 
-pytestmark = pytest.mark.heavy  # full proofs / mesh / compile-heavy
+# core tier: the device field arithmetic is the math foundation of every
+# kernel; the whole module runs in ~15 s on CPU
 
 
 @pytest.fixture(scope="module")

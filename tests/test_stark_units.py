@@ -12,7 +12,8 @@ from distaff_tpu.stark.trace_state import TraceState
 from distaff_tpu.stark.options import ProofOptions
 from distaff_tpu.stark import fri, utils
 
-pytestmark = pytest.mark.heavy  # full proofs / mesh / compile-heavy
+# core tier: these unit oracles (FRI round-trip, synthetic divisions, PoW)
+# run in seconds and guard protocol soundness
 
 
 def _state(vec, ctx=1, loop=0, stack=2):
