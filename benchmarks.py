@@ -197,10 +197,10 @@ def main():
         from distaff_tpu.ops import mxu_ntt
 
         root256 = field.get_root_of_unity(256)
-        xb = x[: 8192 * 256].reshape(8192, 256, 4)
+        xb = x[: 4096 * 256].reshape(4096, 256, 4)
         _sync(mxu_ntt.leaf_ntt256(xb, root256))
         t = _time(lambda: _sync(mxu_ntt.leaf_ntt256(xb, root256)), reps=3)
-        bf256 = 8192 * 128 * 8
+        bf256 = 4096 * 128 * 8
         results["device_mxu_leaf256_Gbutterflies_per_s"] = bf256 / t / 1e9
     except Exception as exc:  # pragma: no cover
         results["device_mxu_leaf256_error"] = f"{type(exc).__name__}"

@@ -74,6 +74,9 @@ def _prove(log2_trace):
         program.hash, inputs.get_public_inputs(), outputs, proof)
 
 
+@pytest.mark.heavy  # two full CPU proofs (~5 min); the invariant it pins
+                    # is bench-critical but geometry-independent, so the
+                    # full tier covers it
 def test_no_new_transform_kernels_across_geometries():
     # warm the canonical set, prove one geometry, then assert a 4x-larger
     # geometry (fresh interpolation/LDE/composition transform sizes) adds
