@@ -191,6 +191,31 @@ def main():
         rate_bf / (VPU_OPS / OPS_PER_BUTTERFLY))
     results["device_ntt_fused_vs_hbm_sol"] = rate_bf / (HBM_BPS / 64.0)
 
+    # canonical per-size Pease kernel at the production shape
+    # (CANON_ELEMS/NCAP, NCAP) - the executable every ladder rung's
+    # transforms actually dispatch (ops/tiles._pease_tile)
+    W = tiles._stage_table(tiles.NCAP, field.get_root_of_unity(tiles.NCAP))
+    cbp = max(1, tiles.CANON_ELEMS // tiles.NCAP)
+    xp = jax.numpy.asarray(
+        np.random.default_rng(2).integers(
+            0, 2**32, size=(cbp, tiles.NCAP, 4), dtype=np.uint64)
+        .astype(np.uint32))
+
+    def pease_chain():
+        y = xp
+        for _ in range(8):
+            y = tiles._pease_tile(y, W, tiles.NCAP)
+        _sync(y)
+
+    pease_chain()
+    t = _time(pease_chain, reps=3) / 8
+    bf_p = cbp * (tiles.NCAP // 2) * (tiles.NCAP.bit_length() - 1)
+    rate_p = bf_p / t
+    results["device_pease_canonical_Gbutterflies_per_s"] = rate_p / 1e9
+    results["device_pease_canonical_vs_compute_sol"] = (
+        rate_p / (VPU_OPS / OPS_PER_BUTTERFLY))
+    results["device_pease_canonical_vs_hbm_sol"] = rate_p / (HBM_BPS / 64.0)
+
     # experimental MXU leaf (ops/mxu_ntt.py): 256-point DFT stages as bf16
     # limb-convolution matmuls on the systolic array, twiddles absorbed
     try:

@@ -124,8 +124,12 @@ def add(a, b):
     a, b = jnp.broadcast_arrays(a, b)
     s, carry = _raw_add(a, b)
     m = jnp.broadcast_to(jnp.asarray(_M_LIMBS_NP), s.shape)
-    d, _ = _raw_sub(s, m)
-    need = (carry > 0) | _geq_m(s)
+    # s >= M iff the trial subtraction does not borrow; when the add carried
+    # out (s >= 2^128 > M) the limb-wrapped difference is still s - M, so the
+    # borrow flag replaces a separate lexicographic _geq_m compare (~1/3 of
+    # the former add cost)
+    d, borrow = _raw_sub(s, m)
+    need = (carry > 0) | (borrow == 0)
     return jnp.where(need[..., None], d, s)
 
 
@@ -187,14 +191,18 @@ def _borrow_sub_halfwords(a, b):
 
 
 def _mul_by_r(h):
-    """x * (45*2^40 - 1) for x given as 8 halfwords; returns 11 halfwords."""
-    # y = x * 45 (each product < 45 * 2^16 < 2^22)
-    y, carry = _carry_normalize([hk * jnp.uint32(45) for hk in h], 9)
-    # y <<= 8  (40-bit shift = 2 halfword slots + 8 bits)
-    y, carry = _carry_normalize([yk << 8 for yk in y], 9)
-    y = y + [carry]
-    z = [jnp.zeros_like(h[0]), jnp.zeros_like(h[0])] + y  # * 2^32 -> 12 halfwords
-    # subtract x
+    """x * (45*2^40 - 1) for x given as len(h) halfwords (< 2^16 each);
+    returns len(h) + 4 halfwords.
+
+    (x*45) << 8 computes in ONE carry pass (each column < 45*2^16*2^8 <
+    2^30, exact in u32); the two zero slots prepend the remaining *2^32 of
+    the 40-bit shift, and subtracting x yields x*R.  Length-generic so the
+    reduction's second fold runs on its true 3-halfword width instead of
+    padding to 8 (the former fixed-width version cost ~70 extra ops/mul)."""
+    y, carry = _carry_normalize(
+        [(hk * jnp.uint32(45)) << 8 for hk in h], len(h) + 2)
+    # carry is 0: x*45*2^8 < 2^(16*len(h)+14) fits len(h)+2 columns
+    z = [jnp.zeros_like(h[0]), jnp.zeros_like(h[0])] + y
     out, _ = _borrow_sub_halfwords(z, h)
     return out
 
@@ -220,10 +228,11 @@ def _add_halfwords(a, b, out_len):
 def _reduce_256(h):
     """Reduce a 256-bit value (16 halfwords) mod M -> (..., 4) u32 limbs."""
     lo, hi = h[:8], h[8:16]
-    # fold high 128 bits: p1 = hi * R + lo  (< 2^174 + 2^128 -> 12 halfwords)
+    # fold high 128 bits: p1 = hi * R + lo  (< 2^174 + 2^128 -> 12 halfwords,
+    # so p1[11] is always 0 and p1_hi = p1 >> 128 spans 3 halfwords)
     p1 = _add_halfwords(_mul_by_r(hi), lo, 12)
-    # fold again: p2 = p1_hi * R + p1_lo  (p1_hi < 2^64 -> p2 < 2^128 + 2^110)
-    p2 = _add_halfwords(_mul_by_r(p1[8:12] + [jnp.zeros_like(h[0])] * 4), p1[:8], 9)
+    # fold again: p2 = p1_hi * R + p1_lo  (p1_hi < 2^46 -> p2 < 2^128 + 2^92)
+    p2 = _add_halfwords(_mul_by_r(p1[8:11]), p1[:8], 9)
     # last fold: bit 128 of p2 is 0 or 1
     hi2 = p2[8]
     r = [hi2 * jnp.uint32(w) for w in R_HALFWORDS]
@@ -379,9 +388,8 @@ def power_series(x_int, n):
     return power_series_dev(constant(int(x_int)), n)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def power_series_dev(x, n):
-    """[x^0 .. x^(n-1)] for a traced (4,) limb base x (scanned doublings)."""
+def _ps_scan(x, n):
+    """[x^0 .. x^(n-1)] by scanned doublings: log2(n) muls per element."""
     bits = max((n - 1).bit_length(), 1)
     idx = jnp.arange(n, dtype=jnp.uint32)
     ks = jnp.arange(bits, dtype=jnp.uint32)
@@ -395,6 +403,27 @@ def power_series_dev(x, n):
 
     (result, _), _ = jax.lax.scan(body, (full((n,), 1), x), ks)
     return result
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def power_series_dev(x, n):
+    """[x^0 .. x^(n-1)] for a traced (4,) limb base x.
+
+    Baby-step/giant-step: B = [x^0 .. x^(s-1)] and A = [(x^s)^0 ..] come
+    from ~sqrt(n)-length doubling scans, and the series is their outer
+    product - ~1 mul per element instead of the former log2(n) muls per
+    element (the whole-length scan multiplied every row once per exponent
+    bit; at 2^16-row tiles that was 16x the arithmetic of the consumers of
+    these series).  Bit-identical values: modular exponentiation either way.
+    """
+    if n <= 64:
+        return _ps_scan(x, n)
+    s = 1 << (((n - 1).bit_length() + 1) // 2)    # 2^ceil(bits/2) ~ sqrt(n)
+    hi = (n + s - 1) // s
+    B = _ps_scan(x, s)                            # (s, 4)
+    A = _ps_scan(mul(B[s - 1], x), hi)            # powers of x^s: (hi, 4)
+    out = mul(A[:, None, :], B[None, :, :])       # (hi, s, 4)
+    return out.reshape(hi * s, 4)[:n]
 
 
 def dot(a, b, axis=0):

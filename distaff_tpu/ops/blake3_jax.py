@@ -5,10 +5,11 @@ trace commitment from R*16 bytes per row to the 32-byte digest per leaf
 (10x+ for wide traces), and keeps the bandwidth-heavy part of the Merkle
 stage on the device.
 
-The compression function is expressed as a `fori_loop` over the 7 rounds
+The compression function unrolls the 7 rounds over 16 SSA lane arrays
 with the per-round message schedule precomputed as composed-permutation
-index tables - unrolling the G-function chains instead makes XLA's
-compile time explode.
+index tables resolved at trace time (round 5; the earlier fori_loop over
+a (16, N) state tensor made every G-function lane write a full-state
+copy and left the kernel HBM-bound at ~1% of compute speed-of-light).
 
 Messages up to two chunks (<= 2048 bytes = 128 registers) ride this fast
 path; wider traces fall back to the host implementation.
@@ -29,8 +30,11 @@ for _r in range(1, 7):
     _PERMS[_r] = _PERMS[_r - 1][list(_PERM)]
 
 
-def _g(s, a, b, c, d, mx, my):
-    sa, sb, sc, sd = s[a], s[b], s[c], s[d]
+def _g4(sa, sb, sc, sd, mx, my):
+    """One G mixing function over four independent lane arrays (SSA form:
+    no (16, N) state tensor, so XLA never materializes whole-state copies
+    - the former s.at[i].set() formulation made each of the 32 per-round
+    lane writes a full-state copy and left the kernel HBM-bound)."""
     sa = sa + sb + mx
     sd = sd ^ sa
     sd = (sd >> 16) | (sd << 16)
@@ -43,40 +47,48 @@ def _g(s, a, b, c, d, mx, my):
     sc = sc + sd
     sb = sb ^ sc
     sb = (sb >> 7) | (sb << 25)
-    return s.at[a].set(sa).at[b].set(sb).at[c].set(sc).at[d].set(sd)
+    return sa, sb, sc, sd
+
+
+_COLS = ((0, 4, 8, 12), (1, 5, 9, 13), (2, 6, 10, 14), (3, 7, 11, 15),
+         (0, 5, 10, 15), (1, 6, 11, 12), (2, 7, 8, 13), (3, 4, 9, 14))
 
 
 def _compress(cv, m_stack, block_len, flags, counter=0):
     """cv: (8, N); m_stack: (16, N) message words -> new cv (8, N).
     `counter` is the 64-bit chunk counter (t) - nonzero for the second and
-    later chunks of multi-chunk (> 1024-byte) messages."""
+    later chunks of multi-chunk (> 1024-byte) messages.
+
+    The round loop carries the 16 state words as a TUPLE of lane arrays
+    (SSA form) and permutes the message words with ONE 16-row gather per
+    round (a transient (16, N) temp XLA reuses across iterations; a
+    pre-permuted (7, 16, N) tensor would have to live across the whole
+    loop - 15 GB at the streaming path's 2^25-row domains).  Fully
+    unrolling the rounds instead explodes XLA compile time (measured: a
+    one-block hash did not compile in 100 s on CPU), and a (16, N) state
+    tensor with s.at[i].set() lane writes makes every G-function write a
+    full-state copy (32 copies/round)."""
     n = cv.shape[1]
-    iv = jnp.asarray(np.array(_IV[:4], dtype=np.uint32))
-    tail = jnp.stack([
-        jnp.broadcast_to(iv[0], (n,)), jnp.broadcast_to(iv[1], (n,)),
-        jnp.broadcast_to(iv[2], (n,)), jnp.broadcast_to(iv[3], (n,)),
+    s0 = tuple(cv[i] for i in range(8)) + tuple(
+        jnp.full((n,), iv, dtype=jnp.uint32) for iv in _IV[:4]) + (
         jnp.full((n,), counter & 0xFFFFFFFF, dtype=jnp.uint32),
         jnp.full((n,), (counter >> 32) & 0xFFFFFFFF, dtype=jnp.uint32),
         jnp.full((n,), block_len, dtype=jnp.uint32),
         jnp.full((n,), flags, dtype=jnp.uint32),
-    ])
-    s = jnp.concatenate([cv, tail], axis=0)  # (16, N)
+    )
     perm_table = jnp.asarray(_PERMS)
 
     def round_body(r, s):
-        m = m_stack[perm_table[r]]
-        s = _g(s, 0, 4, 8, 12, m[0], m[1])
-        s = _g(s, 1, 5, 9, 13, m[2], m[3])
-        s = _g(s, 2, 6, 10, 14, m[4], m[5])
-        s = _g(s, 3, 7, 11, 15, m[6], m[7])
-        s = _g(s, 0, 5, 10, 15, m[8], m[9])
-        s = _g(s, 1, 6, 11, 12, m[10], m[11])
-        s = _g(s, 2, 7, 8, 13, m[12], m[13])
-        s = _g(s, 3, 4, 9, 14, m[14], m[15])
-        return s
+        m = m_stack[jax.lax.dynamic_index_in_dim(
+            perm_table, r, axis=0, keepdims=False)]          # (16, N)
+        s = list(s)
+        for gi, (a, b, c, d) in enumerate(_COLS):
+            s[a], s[b], s[c], s[d] = _g4(
+                s[a], s[b], s[c], s[d], m[2 * gi], m[2 * gi + 1])
+        return tuple(s)
 
-    s = jax.lax.fori_loop(0, 7, round_body, s)
-    return s[:8] ^ s[8:]
+    s = jax.lax.fori_loop(0, 7, round_body, s0)
+    return jnp.stack([s[i] ^ s[i + 8] for i in range(8)])
 
 
 @functools.partial(jax.jit, static_argnums=(1,))

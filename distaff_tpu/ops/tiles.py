@@ -404,6 +404,16 @@ def _stage_table(n, root_int):
     return _tw_get(("stage", n, int(root_int)), build)
 
 
+def _stage_table2(n, root_int):
+    """Cached odd-stage half tables for the 2-level Pease kernel:
+    Wh[k] = W[2k+1][::2] ((levels//2, n/4, 4)).  Stage s >= 1 repeats each
+    twiddle 2^s times, so consecutive butterfly pairs share their twiddle
+    and the fused double-stage only needs every other entry."""
+    def build():
+        return _stage_table(n, root_int)[1::2, ::2]
+    return _tw_get(("stage2", n, int(root_int)), build)
+
+
 _TGROUP_BUILD = 64
 
 
@@ -464,6 +474,51 @@ def _pease_tile(values, W, n):
     return _bitrev_bm(out, n)
 
 
+@functools.partial(jax.jit, static_argnums=(3,))
+def _pease_tile2(values, W, Wh, n):
+    """_pease_tile with TWO butterfly stages fused per loop iteration: same
+    multiply count, but one HBM read+write of the tile per stage PAIR
+    instead of per stage, and half the loop iterations.
+
+    Stage s produces y = interleave(even, odd); stage s+1's butterflies on
+    y reduce to halves of even/odd directly (y[:n/2] interleaves their
+    first halves, y[n/2:] their second halves), so y is never materialized:
+        z[4j]   = even[j] + even[n/4+j]
+        z[4j+1] = (even[j] - even[n/4+j]) * Wh[j]
+        z[4j+2] = odd[j] + odd[n/4+j]
+        z[4j+3] = (odd[j] - odd[n/4+j]) * Wh[j]
+    with Wh[j] = W[s+1][2j] (= W[s+1][2j+1]: stage >= 1 twiddles repeat in
+    pairs).  Bit-identical to two _pease_tile stages."""
+    b = values.shape[0]
+    levels = n.bit_length() - 1
+
+    def body2(k, x):
+        a = x[:, : n // 2]
+        c = x[:, n // 2 :]
+        w0 = jax.lax.dynamic_index_in_dim(W, 2 * k, axis=0, keepdims=False)[None]
+        even = fj.add(a, c)
+        odd = fj.mul(fj.sub(a, c), jnp.broadcast_to(w0, a.shape))
+        e_lo, e_hi = even[:, : n // 4], even[:, n // 4 :]
+        o_lo, o_hi = odd[:, : n // 4], odd[:, n // 4 :]
+        wh = jax.lax.dynamic_index_in_dim(Wh, k, axis=0, keepdims=False)[None]
+        whb = jnp.broadcast_to(wh, e_lo.shape)
+        z0 = fj.add(e_lo, e_hi)
+        z1 = fj.mul(fj.sub(e_lo, e_hi), whb)
+        z2 = fj.add(o_lo, o_hi)
+        z3 = fj.mul(fj.sub(o_lo, o_hi), whb)
+        return jnp.stack([z0, z1, z2, z3], axis=2).reshape(b, n, 4)
+
+    out = jax.lax.fori_loop(0, levels // 2, body2, values)
+    if levels % 2:
+        a = out[:, : n // 2]
+        c = out[:, n // 2 :]
+        w = W[levels - 1][None]
+        even = fj.add(a, c)
+        odd = fj.mul(fj.sub(a, c), jnp.broadcast_to(w, a.shape))
+        out = jnp.stack([even, odd], axis=2).reshape(b, n, 4)
+    return _bitrev_bm(out, n)
+
+
 def _canon_ntt(values, root_int):
     """(B, n, 4) -> natural-order NTT along axis 1 for n <= NCAP: the batch
     is padded to the canonical tile CB(n) = CANON_ELEMS/n, so the kernel is
@@ -484,8 +539,13 @@ def _canon_ntt(values, root_int):
         out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         return out[:b]
     W = _stage_table(n, root_int)
-    parts = [_pease_tile(values[lo : lo + cb], W, n)
-             for lo in range(0, values.shape[0], cb)]
+    if n >= 4:  # 2-level fused kernel (n=2 has a single stage)
+        Wh = _stage_table2(n, root_int)
+        parts = [_pease_tile2(values[lo : lo + cb], W, Wh, n)
+                 for lo in range(0, values.shape[0], cb)]
+    else:
+        parts = [_pease_tile(values[lo : lo + cb], W, n)
+                 for lo in range(0, values.shape[0], cb)]
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     return out[:b]
 

@@ -71,7 +71,8 @@ def transition_sharded(evaluator, trace, mesh, debug_check=True):
            else trace.lde_dev[:, ::stride, :])
     n_ev = lde.shape[1]
 
-    dec_ark, dec_masks, stk_ark, xp_bases_dev = _device_constants(evaluator)
+    # chunk == n_ev: the full-domain kernel gets full-length xp series
+    dec_ark, dec_masks, stk_ark, xp_series = _device_constants(evaluator, n_ev)
     cc = fj.from_ints(np.array(evaluator.coefficients.transition, dtype=object))
     groups = tuple(tuple(cs) for _, cs in evaluator.t_degree_groups)
 
@@ -94,7 +95,7 @@ def transition_sharded(evaluator, trace, mesh, debug_check=True):
     ctx = jax.disable_jit() if on_cpu else contextlib.nullcontext()
     with ctx:
         combined, bad = _transition_kernel(
-            lde, ext, dec_ark, dec_masks, stk_ark, cc, xp_bases_dev,
+            lde, ext, dec_ark, dec_masks, stk_ark, cc, xp_series,
             xp_prefix, jnp.asarray(last_step_row, jnp.int32),
             jnp.asarray(n_ev, jnp.int32),
             ctx_depth=evaluator.ctx_depth, loop_depth=evaluator.loop_depth,

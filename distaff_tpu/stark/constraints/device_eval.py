@@ -53,32 +53,42 @@ class _DeviceTraceState(TraceState):
             b = stack_cols(bit_cols, n)
             return b, fj.sub(jnp.broadcast_to(ones, b.shape), b)
 
-        def select(num_flags, pos, bit, not_bit):
-            sel = np.array([(i >> pos) & 1 for i in range(num_flags)], dtype=bool)
-            return jnp.where(sel[:, None, None], bit[None], not_bit[None])
+        def idx(seq):
+            return jnp.asarray(np.array(seq, dtype=np.int32))
 
-        # cf flags: products over the 3 cf bits
+        # Binary-split shared subproducts (round 5): each k-bit flag family
+        # factors as low-bits x high-bits partial products reused across
+        # flags - 48 muls/row for the 32 ld flags instead of the former 128
+        # (4 full (32, n, 4) multiply layers).  Bit-identical: the same
+        # factors multiply in a different association order, and field
+        # multiplication is associative/exact.
         cb, ncb = bits_and_nots(self.cf_op_bits)
-        cf = fj.mul(select(NUM_CF_OPS, 0, cb[0], ncb[0]),
-                    select(NUM_CF_OPS, 1, cb[1], ncb[1]))
-        cf = fj.mul(cf, select(NUM_CF_OPS, 2, cb[2], ncb[2]))
-
-        # ld flags: products over the 5 ld bits, with the reference quirk -
-        # flags whose low two bits are '10' use cf_op_bits[1] as the
-        # position-1 factor (trace_state.rs:301)
         lb, nlb = bits_and_nots(self.ld_op_bits)
-        pos1 = select(NUM_LD_OPS, 1, lb[1], nlb[1])
-        quirk = np.array([(i & 3) == 2 for i in range(NUM_LD_OPS)], dtype=bool)
-        pos1 = jnp.where(quirk[:, None, None],
-                         jnp.broadcast_to(cb[1][None], pos1.shape), pos1)
-        ld = fj.mul(select(NUM_LD_OPS, 0, lb[0], nlb[0]), pos1)
-        for pos in (2, 3, 4):
-            ld = fj.mul(ld, select(NUM_LD_OPS, pos, lb[pos], nlb[pos]))
+        hb, nhb = bits_and_nots(self.hd_op_bits)
+
+        # cf flags: low-2-bit combos (4 muls), then x bit 2 (8 muls)
+        cf01 = fj.mul(jnp.stack([ncb[0], cb[0], ncb[0], cb[0]]),
+                      jnp.stack([ncb[1], ncb[1], cb[1], cb[1]]))
+        cf = fj.mul(cf01[idx([i & 3 for i in range(NUM_CF_OPS)])],
+                    jnp.stack([cb[2] if (i >> 2) & 1 else ncb[2]
+                               for i in range(NUM_CF_OPS)]))
+
+        # ld flags: low-2-bit combos with the reference quirk - flags whose
+        # low two bits are '10' use cf_op_bits[1] as the position-1 factor
+        # (trace_state.rs:301); combo index 2 IS that case
+        ld01 = fj.mul(jnp.stack([nlb[0], lb[0], nlb[0], lb[0]]),
+                      jnp.stack([nlb[1], nlb[1], cb[1], lb[1]]))
+        ld23 = fj.mul(jnp.stack([nlb[2], lb[2], nlb[2], lb[2]]),
+                      jnp.stack([nlb[3], nlb[3], lb[3], lb[3]]))
+        ld234 = fj.mul(ld23[idx([i & 3 for i in range(8)])],
+                       jnp.stack([lb[4] if (i >> 2) & 1 else nlb[4]
+                                  for i in range(8)]))
+        ld = fj.mul(ld01[idx([i & 3 for i in range(NUM_LD_OPS)])],
+                    ld234[idx([i >> 2 for i in range(NUM_LD_OPS)])])
 
         # hd flags: products over the 2 hd bits
-        hb, nhb = bits_and_nots(self.hd_op_bits)
-        hd = fj.mul(select(NUM_HD_OPS, 0, hb[0], nhb[0]),
-                    select(NUM_HD_OPS, 1, hb[1], nhb[1]))
+        hd = fj.mul(jnp.stack([nhb[0], hb[0], nhb[0], hb[0]]),
+                    jnp.stack([nhb[1], nhb[1], hb[1], hb[1]]))[:NUM_HD_OPS]
 
         begin_flag = JaxCol(fj.mul(ld[OpCode.Begin.ld_index()],
                                    hd[OpCode.Begin.hd_index()]))
@@ -108,7 +118,7 @@ def _as_col(value, n):
 
 @functools.partial(
     jax.jit, static_argnames=("ctx_depth", "loop_depth", "stack_depth", "groups"))
-def _transition_kernel(lde, nxt, dec_ark, dec_masks, stk_ark, cc, xp_bases,
+def _transition_kernel(lde, nxt, dec_ark, dec_masks, stk_ark, cc, xp_series,
                        xp_prefix, excl, n_real, *, ctx_depth, loop_depth,
                        stack_depth, groups):
     """One fused device kernel over a fixed-size chunk of the evaluation
@@ -120,8 +130,11 @@ def _transition_kernel(lde, nxt, dec_ark, dec_masks, stk_ark, cc, xp_bases,
     kernel is the most expensive compile in the pipeline (~270 s measured).
 
     lde/nxt: (R, C, 4) current and 8-rows-ahead chunk slices.
-    xp_prefix: (G, 4) per-chunk scalar xp_base^chunk_offset so the in-kernel
-    power series starts at the right exponent.
+    xp_series: (G, C, 4) per-group degree-adjustment power series over one
+    chunk (geometry-static, built once and cached - recomputing it in-kernel
+    cost ~16 muls/row/group, a measurable slice of the whole AIR sweep).
+    xp_prefix: (G, 4) per-chunk scalar xp_base^chunk_offset scaling the
+    series to the chunk's offset.
     excl: local index of the final trace step (its wraparound transition is
     legitimately nonzero), or -1 when outside this chunk.
     n_real: rows < n_real are real; the rest are cyclic padding used when the
@@ -172,7 +185,7 @@ def _transition_kernel(lde, nxt, dec_ark, dec_masks, stk_ark, cc, xp_bases,
         i += len(constraints)
         result = (result + weighted_sum(cols, even)) % M
         result_adj = weighted_sum(cols, odd)
-        xp = JaxCol(fj.mul(fj.power_series_dev(xp_bases[gi], n),
+        xp = JaxCol(fj.mul(xp_series[gi],
                            jnp.broadcast_to(xp_prefix[gi], (n, 4))))
         result = (result + result_adj * xp) % M
 
@@ -199,18 +212,26 @@ def _limb_rows(rows):
 _CONST_CACHE = {}
 
 
-def _device_constants(evaluator):
+def _device_constants(evaluator, chunk):
     n_ev = evaluator.domain_size
-    key = (n_ev, evaluator.ctx_depth, evaluator.loop_depth, evaluator.stack_depth)
+    key = (n_ev, chunk,
+           evaluator.ctx_depth, evaluator.loop_depth, evaluator.stack_depth)
     cached = _CONST_CACHE.get(key)
     if cached is None:
+        from ...ops import tiles
+
         root_ev = field.get_root_of_unity(n_ev)
+        # per-group degree-adjustment power series over ONE chunk: the bases
+        # are n_ev-th roots of unity, so the series continues periodically
+        # when small domains tile cyclically up to the chunk size
+        xp_series = jnp.stack([
+            tiles.power_series(field.exp(root_ev, incr), chunk)
+            for incr, _ in evaluator.t_degree_groups])
         cached = (
             _limb_rows(evaluator.decoder.ark_rows),
             _limb_rows(evaluator.decoder.mask_rows),
             _limb_rows(evaluator.stack.ark_rows),
-            _limb_rows([[field.exp(root_ev, incr)
-                         for incr, _ in evaluator.t_degree_groups]])[0],
+            xp_series,
         )
         _CONST_CACHE[key] = cached
     return cached
@@ -236,12 +257,16 @@ def evaluate_transition_device(evaluator, trace, debug_check=True):
         lde = trace.lde_dev[:, ::stride, :]
     n_ev = lde.shape[1]
 
-    dec_ark, dec_masks, stk_ark, xp_bases_dev = _device_constants(evaluator)
-    cc = fj.from_ints(np.array(evaluator.coefficients.transition, dtype=object))
-    groups = tuple(tuple(cs) for _, cs in evaluator.t_degree_groups)
-
     chunk = int(os.environ.get("DISTAFF_AIR_CHUNK_ROWS", 1 << 16))
     assert chunk % (16 * MAX_CONSTRAINT_DEGREE) == 0
+    if n_ev < chunk:
+        assert chunk % n_ev == 0, (
+            f"DISTAFF_AIR_CHUNK_ROWS={chunk} must be a multiple of the "
+            f"evaluation domain ({n_ev}) when padding small traces")
+
+    dec_ark, dec_masks, stk_ark, xp_series = _device_constants(evaluator, chunk)
+    cc = fj.from_ints(np.array(evaluator.coefficients.transition, dtype=object))
+    groups = tuple(tuple(cs) for _, cs in evaluator.t_degree_groups)
 
     # rows 8 ahead with wraparound, so chunks never roll across their edge
     ext = jnp.concatenate(
@@ -252,10 +277,8 @@ def evaluate_transition_device(evaluator, trace, debug_check=True):
         # cyclic padding up to one full chunk: small traces reuse the same
         # compiled kernel as large ones (the ARK/mask cycle is 128 rows and
         # n_ev is a multiple of it, so tiling keeps the periodic constants
-        # aligned); padded rows are sliced off below
-        assert chunk % n_ev == 0, (
-            f"DISTAFF_AIR_CHUNK_ROWS={chunk} must be a multiple of the "
-            f"evaluation domain ({n_ev}) when padding small traces")
+        # aligned; the xp series wrap identically - their bases are n_ev-th
+        # roots of unity); padded rows are sliced off below
         reps = chunk // n_ev
         lde = jnp.tile(lde, (1, reps, 1))
         ext = jnp.tile(ext, (1, reps, 1))
@@ -277,7 +300,7 @@ def evaluate_transition_device(evaluator, trace, debug_check=True):
         combined, bad = _transition_kernel(
             jax.lax.dynamic_slice_in_dim(lde, lo, chunk, axis=1),
             jax.lax.dynamic_slice_in_dim(ext, lo, chunk, axis=1),
-            dec_ark, dec_masks, stk_ark, cc, xp_bases_dev,
+            dec_ark, dec_masks, stk_ark, cc, xp_series,
             xp_prefix, excl, jnp.asarray(min(n_real - lo, chunk), jnp.int32),
             ctx_depth=evaluator.ctx_depth, loop_depth=evaluator.loop_depth,
             stack_depth=evaluator.stack_depth, groups=groups)
@@ -285,7 +308,9 @@ def evaluate_transition_device(evaluator, trace, debug_check=True):
         bad_total.append(bad)
 
     if debug_check:
-        total = sum(int(b) for b in bad_total)
+        # one device-side reduction + ONE scalar transfer (a per-chunk int()
+        # costs a tunnel round trip each)
+        total = int(jnp.sum(jnp.stack(bad_total)))
         assert total == 0, (
             f"transition constraints not satisfied at {total} trace steps")
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)

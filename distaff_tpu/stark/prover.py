@@ -598,16 +598,20 @@ def _build_constraint_tree(constraint_lde, hash_name):
 import jax as _jax
 
 
-@_jax.jit
-def _poly_eval_tile_multi(polys_chunk, bases, prefixes):
-    """((RG, T, 4), (PC, 4), (PC, 4)) -> (PC, RG, 4): partial sums of
-    sum_j p[r, j] * x_p^(lo + j) for a chunk of evaluation points at once.
-    The per-point power series build on device from the bases; per-tile
-    prefixes x_p^lo arrive pre-transferred (host->device constants cost a
-    tunnel round trip each)."""
-    t = polys_chunk.shape[1]
+@functools.partial(_jax.jit, static_argnums=(2,))
+def _ps_points(bases, prefixes, t):
+    """((PC, 4), (PC, 4)) -> (PC, T, 4): per-point power series over one
+    tile, scaled by the per-tile prefixes x_p^lo (pre-transferred - host->
+    device constants cost a tunnel round trip each).  Built ONCE per tile
+    and shared by every register group."""
     ps = _jax.vmap(lambda b: fj.power_series_dev(b, t))(bases)   # (PC, T, 4)
-    ps = fj.mul(ps, prefixes[:, None, :])
+    return fj.mul(ps, prefixes[:, None, :])
+
+
+@_jax.jit
+def _poly_eval_tile_multi(polys_chunk, ps):
+    """((RG, T, 4), (PC, T, 4)) -> (PC, RG, 4): partial sums of
+    sum_j p[r, j] * x_p^(lo + j) for a chunk of evaluation points at once."""
     prod = fj.mul(polys_chunk[None], ps[:, None, :, :])          # (PC, RG, T, 4)
     return fj.sum_reduce(prod, axis=2)
 
@@ -642,6 +646,8 @@ def _poly_eval_rows_multi(polys, x_ints):
         totals = None                                                # (PC, R', 4)
         for ti, lo in enumerate(range(0, length, t)):
             width = min(t, length - lo)
+            ps = _ps_points(bases_all[plo : plo + pc],
+                            prefixes_all[plo : plo + pc, ti], t)
             col_parts = []
             for rlo in range(0, r, rg):
                 chunk = polys[rlo : rlo + rg, lo : lo + width]
@@ -653,9 +659,7 @@ def _poly_eval_rows_multi(polys, x_ints):
                     chunk = jnp.concatenate(
                         [chunk, jnp.zeros((rg - chunk.shape[0], t, 4),
                                           dtype=jnp.uint32)])
-                col_parts.append(_poly_eval_tile_multi(
-                    chunk, bases_all[plo : plo + pc],
-                    prefixes_all[plo : plo + pc, ti]))
+                col_parts.append(_poly_eval_tile_multi(chunk, ps))
             col = (col_parts[0] if len(col_parts) == 1
                    else jnp.concatenate(col_parts, axis=1))
             totals = col if totals is None else fj.add(totals, col)
@@ -671,19 +675,20 @@ def _poly_eval_rows(polys, x_int):
 
 
 @functools.partial(_jax.jit, static_argnums=(15,))
-def _compose_tiles_batched(a1, a2, c_t, root4, prefixes, z4, nz4, s1, s2,
-                           c_at_z, k1, k2, kc, incr_base, incr_prefixes,
+def _compose_tiles_batched(a1, a2, c_t, ps, prefixes, z4, nz4, s1, s2,
+                           c_at_z, k1, k2, kc, ips, incr_prefixes,
                            use_scan_inv=False):
     """A batch of fixed-shape domain tiles of the DEEP composition in ONE
     dispatch: (T, TILE, 4) operands with (T, 4) per-tile x / x^incr
     prefixes (host pow()s shipped in one transfer - per-tile constants cost
-    a tunnel round trip each).  The (x-z) and (x-zg) inverses come from a
-    single Fermat inversion of their product: 1/(x-z) = (x-zg) * w and
-    1/(x-zg) = (x-z) * w with w = 1/((x-z)(x-zg)) - halving the dominant
-    127-squaring chain."""
+    a tunnel round trip each).  The x / x^incr power series over one tile
+    (`ps` / `ips`) arrive prebuilt - recomputing them in-kernel cost ~32
+    muls/row, more than the composition's own arithmetic.  The (x-z) and
+    (x-zg) inverses come from a single Fermat inversion of their product:
+    1/(x-z) = (x-zg) * w and 1/(x-zg) = (x-z) * w with
+    w = 1/((x-z)(x-zg)) - halving the dominant 127-squaring chain."""
     t, tl = a1.shape[0], a1.shape[1]
     shape = (t, tl, 4)
-    ps = fj.power_series_dev(root4, tl)
     xs = fj.mul(jnp.broadcast_to(ps[None], shape), prefixes[:, None, :])
     xz = fj.sub(xs, jnp.broadcast_to(z4, shape))
     xnz = fj.sub(xs, jnp.broadcast_to(nz4, shape))
@@ -698,7 +703,6 @@ def _compose_tiles_batched(a1, a2, c_t, root4, prefixes, z4, nz4, s1, s2,
     t2 = fj.mul(fj.sub(a2, jnp.broadcast_to(s2, shape)), v)
     base = fj.add(t1, t2)
 
-    ips = fj.power_series_dev(incr_base, tl)
     x_incr = fj.mul(jnp.broadcast_to(ips[None], shape), incr_prefixes[:, None, :])
     part1 = fj.mul(base, jnp.broadcast_to(k1, shape))
     part2 = fj.mul(fj.mul(base, x_incr), jnp.broadcast_to(k2, shape))
@@ -812,11 +816,14 @@ def _build_composition_evaluations(trace, constraint_poly, constraint_lde, z, cc
         return arr.reshape(n_tiles, tile, 4)
 
     a1_t, a2_t, c_t = pad_tiles(a1), pad_tiles(a2), pad_tiles(constraint_lde)
-    consts = (fj.constant(root), fj.constant(z), fj.constant(next_z),
+    consts = (fj.constant(z), fj.constant(next_z),
               fj.constant(s1), fj.constant(s2), fj.constant(c_at_z),
               fj.constant(cc.t1_degree), fj.constant(cc.t2_degree),
-              fj.constant(cc.constraints), fj.constant(incr_base))
-    (root4, z4, nz4, s1_4, s2_4, caz4, k1, k2, kc, incr4) = consts
+              fj.constant(cc.constraints))
+    (z4, nz4, s1_4, s2_4, caz4, k1, k2, kc) = consts
+    # x / x^incr power series over ONE tile, prebuilt (cached executables)
+    ps = tiles.power_series(root, tile)
+    ips = tiles.power_series(incr_base, tile)
 
     batch = max(1, int(os.environ.get("DISTAFF_COMPOSE_TILES", 32)))
     use_scan_inv = any(d.platform != "cpu" for d in a1.devices())
@@ -825,8 +832,8 @@ def _build_composition_evaluations(trace, constraint_poly, constraint_lde, z, cc
         hi = min(lo + batch, n_tiles)
         parts.append(_compose_tiles_batched(
             a1_t[lo:hi], a2_t[lo:hi], c_t[lo:hi],
-            root4, x_prefixes[lo:hi], z4, nz4, s1_4, s2_4, caz4,
-            k1, k2, kc, incr4, i_prefixes[lo:hi],
+            ps, x_prefixes[lo:hi], z4, nz4, s1_4, s2_4, caz4,
+            k1, k2, kc, ips, i_prefixes[lo:hi],
             use_scan_inv).reshape(-1, 4))
     composed = (parts[0] if len(parts) == 1 else jnp.concatenate(parts))[:n]
 

@@ -83,7 +83,8 @@ def test_no_new_transform_kernels_across_geometries():
     # ZERO canonical-kernel compiles
     tiles.warm_kernels()
     _prove(9)
-    tracked = [tiles._pease_tile, tiles._twiddle_rows_tile, tiles._suf_tile]
+    tracked = [tiles._pease_tile, tiles._pease_tile2,
+               tiles._twiddle_rows_tile, tiles._suf_tile]
     before = [f._cache_size() for f in tracked]
     _prove(11)
     after = [f._cache_size() for f in tracked]
