@@ -108,9 +108,10 @@ class MerkleTree:
 
     # batch openings -----------------------------------------------------------------------------
 
-    def prove_batch_async(self, indexes):
+    def prove_batch_async(self, indexes, batch=None):
         """Host trees have nothing in flight; API parity with the device
-        trees' pending-proof protocol."""
+        trees' pending-proof protocol (`batch` is ignored - no device
+        arrays to transfer)."""
         proof = self.prove_batch(indexes)
         return type("_Ready", (), {"result": lambda _self: proof})()
 

@@ -103,16 +103,13 @@ class DeviceMerkleTree:
         """Fetch internal nodes by flat index in one transfer -> list[bytes]."""
         if not node_indexes:
             return []
-        from ..ops.gather import gather_rows
-        rows = np.ascontiguousarray(gather_rows(self.flat_nodes, node_indexes))
-        rows = rows.view(np.uint8).reshape(len(node_indexes), 32)
-        return [rows[k].tobytes() for k in range(len(node_indexes))]
+        return self._nodes_from_opaque(
+            node_indexes, self._gather_nodes_dev(node_indexes)())
 
     def _gather_leaves(self, leaf_indexes):
         if not leaf_indexes:
             return []
-        from ..ops.gather import gather_rows
-        rows = np.ascontiguousarray(gather_rows(self.values, leaf_indexes))
+        rows = np.ascontiguousarray(self._gather_leaves_dev(leaf_indexes)())
         rows = rows.view(np.uint8).reshape(len(leaf_indexes), 32)
         return [rows[k].tobytes() for k in range(len(leaf_indexes))]
 
@@ -127,13 +124,15 @@ class DeviceMerkleTree:
         proof.extend(self._gather_nodes(node_indexes))
         return proof
 
-    def prove_batch_async(self, indexes):
+    def prove_batch_async(self, indexes, batch=None):
         """Same node-dedup walk as MerkleTree.prove_batch (reference
         merkle.rs:64-124), but run over indices only; the 32-byte node
-        values come from two batched device gathers whose device->host
-        copies START here (copy_to_host_async) and land in `.result()` -
-        callers opening several trees (step 9 opens ten) overlap all the
-        ~25 ms tunnel round trips instead of paying them serially."""
+        values come from two batched device gathers.  With `batch` (an
+        ops.hostsync.TransferBatch) the gathers join the caller's single
+        bulk device->host fetch - the tunnel has no effective async copy,
+        so per-tree fetches cost a blocking ~20 ms round trip each and
+        step 9 opens ten trees; without it, copies start here
+        (copy_to_host_async, best-effort) and land in `.result()`."""
         from .merkle import _map_indexes, _normalize_indexes
 
         n = self.n
@@ -167,38 +166,47 @@ class DeviceMerkleTree:
                 i += 1
             walk = new_walk
 
-        leaf_dev = self._gather_leaves_dev(leaf_fetch)
-        node_dev = self._gather_nodes_dev([ni for _, ni in node_slots])
+        leaf_dev = self._gather_leaves_dev(leaf_fetch, batch)
+        node_dev = self._gather_nodes_dev([ni for _, ni in node_slots], batch)
         return _PendingBatchProof(
             self, index_map, leaf_plan, node_slots, leaf_dev, node_dev, depth)
 
     def prove_batch(self, indexes) -> BatchMerkleProof:
         return self.prove_batch_async(indexes).result()
 
-    def _gather_leaves_dev(self, leaf_indexes):
+    @staticmethod
+    def _defer(rows_k, batch):
+        """(device rows, true count) -> zero-arg closure producing the
+        TRIMMED host array, either through the caller's TransferBatch or a
+        direct (best-effort async) copy.  The gather stays on device here -
+        no synchronization until the closure runs."""
+        rows, k = rows_k
+        if batch is not None:
+            ref = batch.add(rows)
+            return lambda: batch.get(ref)[:k]
+        if hasattr(rows, "copy_to_host_async"):
+            rows.copy_to_host_async()
+        return lambda: np.asarray(rows)[:k]
+
+    def _gather_leaves_dev(self, leaf_indexes, batch=None):
         if not leaf_indexes:
-            return None
-        from ..ops.gather import gather_rows
-        rows = gather_rows(self.values, leaf_indexes)
-        if hasattr(rows, "copy_to_host_async"):
-            rows.copy_to_host_async()
-        return rows
+            return lambda: None
+        from ..ops.gather import gather_rows_dev
+        return self._defer(gather_rows_dev(self.values, leaf_indexes), batch)
 
-    def _gather_nodes_dev(self, node_indexes):
-        """Enqueue the device gather of internal nodes; returns an opaque
-        handle consumed by _nodes_from_opaque."""
+    def _gather_nodes_dev(self, node_indexes, batch=None):
+        """Enqueue the device gather of internal nodes; returns a closure
+        whose host result _nodes_from_opaque consumes."""
         if not node_indexes:
-            return None
-        from ..ops.gather import gather_rows
-        rows = gather_rows(self.flat_nodes, node_indexes)
-        if hasattr(rows, "copy_to_host_async"):
-            rows.copy_to_host_async()
-        return rows
+            return lambda: None
+        from ..ops.gather import gather_rows_dev
+        return self._defer(
+            gather_rows_dev(self.flat_nodes, node_indexes), batch)
 
-    def _nodes_from_opaque(self, node_indexes, opaque):
-        if opaque is None:
+    def _nodes_from_opaque(self, node_indexes, host_rows):
+        if host_rows is None:
             return []
-        rows = np.ascontiguousarray(np.asarray(opaque))
+        rows = np.ascontiguousarray(host_rows)
         rows = rows.view(np.uint8).reshape(len(node_indexes), 32)
         return [rows[k].tobytes() for k in range(len(node_indexes))]
 
@@ -218,8 +226,9 @@ class _PendingBatchProof:
 
     def result(self) -> BatchMerkleProof:
         leaf_vals = []
-        if self.leaf_dev is not None:
-            rows = np.ascontiguousarray(np.asarray(self.leaf_dev))
+        leaf_host = self.leaf_dev()
+        if leaf_host is not None:
+            rows = np.ascontiguousarray(leaf_host)
             rows = rows.view(np.uint8).reshape(-1, 32)
             leaf_vals = [rows[k].tobytes() for k in range(rows.shape[0])]
 
@@ -240,7 +249,7 @@ class _PendingBatchProof:
                 nodes.append([v1])
 
         fetched = self.tree._nodes_from_opaque(
-            [ni for _, ni in self.node_slots], self.node_dev)
+            [ni for _, ni in self.node_slots], self.node_dev())
         for (i, _), value in zip(self.node_slots, fetched):
             nodes[i].append(value)
         return BatchMerkleProof(values, nodes, self.depth)
@@ -317,32 +326,24 @@ class TiledDeviceMerkleTree(DeviceMerkleTree):
                 dev_slots.append(slot)
         return out, dev_flat, dev_slots
 
-    def _gather_nodes(self, node_indexes):
+    def _gather_nodes_dev(self, node_indexes, batch=None):
         if not node_indexes:
-            return []
-        return self._nodes_from_opaque(
-            node_indexes, self._gather_nodes_dev(node_indexes))
-
-    def _gather_nodes_dev(self, node_indexes):
-        if not node_indexes:
-            return None
+            return lambda: None
         out, dev_flat, dev_slots = self._node_split(node_indexes)
-        rows = None
-        if dev_flat:
-            from ..ops.gather import gather_rows
-            n_sub = self.n // SUBTREE
-            flat = self.sub_nodes.reshape(n_sub * SUBTREE, 8)
-            rows = gather_rows(flat, dev_flat)
-            if hasattr(rows, "copy_to_host_async"):
-                rows.copy_to_host_async()
-        return (out, dev_slots, rows)
+        if not dev_flat:
+            return lambda: (out, dev_slots, None)
+        from ..ops.gather import gather_rows_dev
+        n_sub = self.n // SUBTREE
+        flat = self.sub_nodes.reshape(n_sub * SUBTREE, 8)
+        rows = self._defer(gather_rows_dev(flat, dev_flat), batch)
+        return lambda: (out, dev_slots, rows())
 
     def _nodes_from_opaque(self, node_indexes, opaque):
         if opaque is None:
             return []
         out, dev_slots, rows = opaque
         if rows is not None:
-            host = np.ascontiguousarray(np.asarray(rows))
+            host = np.ascontiguousarray(rows)
             host = host.view(np.uint8).reshape(len(dev_slots), 32)
             for slot, k in zip(dev_slots, range(len(dev_slots))):
                 out[slot] = host[k].tobytes()

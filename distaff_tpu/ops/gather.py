@@ -14,16 +14,28 @@ import jax.numpy as jnp
 _BUCKET = 64
 
 
+def gather_rows_dev(arr, indexes, axis=0):
+    """Bucket-padded DEVICE gather: enqueues jnp.take and returns
+    (device_rows, k) WITHOUT synchronizing - callers drain the transfer
+    later (ops.hostsync.TransferBatch overlaps many at once; the former
+    synchronous np.asarray here made every 'async' opening block a ~20 ms
+    tunnel round trip at enqueue time).  Rows beyond k are pad garbage and
+    must be trimmed after the host copy."""
+    k = len(indexes)
+    if k == 0:
+        return None, 0
+    bucket = ((k + _BUCKET - 1) // _BUCKET) * _BUCKET
+    idx = np.zeros(bucket, dtype=np.int32)
+    idx[:k] = indexes
+    return jnp.take(arr, jnp.asarray(idx), axis=axis), k
+
+
 def gather_rows(arr, indexes, axis=0):
     """jnp.take(arr, indexes, axis) for a Python index list, padded to a
     bucket size.  Returns the gathered rows as a numpy (host) array."""
-    k = len(indexes)
+    rows_dev, k = gather_rows_dev(arr, indexes, axis)
     if k == 0:
         shape = list(arr.shape)
         shape[axis] = 0
         return np.empty(tuple(shape), dtype=np.uint32)
-    bucket = ((k + _BUCKET - 1) // _BUCKET) * _BUCKET
-    idx = np.zeros(bucket, dtype=np.int32)
-    idx[:k] = indexes
-    rows = np.asarray(jnp.take(arr, jnp.asarray(idx), axis=axis))
-    return rows.take(range(k), axis=axis)
+    return np.asarray(rows_dev).take(range(k), axis=axis)

@@ -257,7 +257,16 @@ def evaluate_transition_device(evaluator, trace, debug_check=True):
         lde = trace.lde_dev[:, ::stride, :]
     n_ev = lde.shape[1]
 
-    chunk = int(os.environ.get("DISTAFF_AIR_CHUNK_ROWS", 1 << 16))
+    chunk_env = os.environ.get("DISTAFF_AIR_CHUNK_ROWS")
+    if chunk_env is not None:
+        chunk = int(chunk_env)
+    else:
+        # two canonical chunk sizes: small evaluation domains get an 8x
+        # lighter kernel (padding a 2^13-row domain - a 2^10 trace - up to
+        # the 2^16 production chunk made the AIR sweep 8x the necessary
+        # compute, ~150 ms of the small-proof latency budget); larger
+        # domains share the single production executable
+        chunk = 1 << 13 if n_ev <= 1 << 15 else 1 << 16
     assert chunk % (16 * MAX_CONSTRAINT_DEGREE) == 0
     if n_ev < chunk:
         assert chunk % n_ev == 0, (

@@ -40,11 +40,16 @@ def _build_layer_tree(rows_dev, hash_name):
     if hash_name == "blake3" and os.environ.get("DISTAFF_DEVICE_HASH", "1") != "0":
         from ..ops import tiles
         from ..crypto.merkle_dev import make_device_tree
-        # (q, 4, 4) -> (q, 16) by stacking limb slices: a direct .reshape
-        # of a (q, 4, 4) array is lowered as a copy into a T(8,128)-padded
-        # layout (32x HBM) at multi-GB layer sizes
-        words = jnp.stack(
-            [rows_dev[:, w // 4, w % 4] for w in range(16)], axis=1)
+        # (q, 4, 4) -> (q, 16): a direct .reshape is lowered as a copy into
+        # a T(8,128)-padded layout (32x HBM) - catastrophic at multi-GB
+        # layer sizes but a sub-ms copy for small layers, where the stacked
+        # 16-slice formulation's ~17 eager dispatches dominate instead
+        # (~3 ms each over the tunnel)
+        if q <= 1 << 16:
+            words = rows_dev.reshape(q, 16)
+        else:
+            words = jnp.stack(
+                [rows_dev[:, w // 4, w % 4] for w in range(16)], axis=1)
         digests = tiles.hash_rows(words, 64)
         return make_device_tree(digests)
     arr = np.asarray(rows_dev)
@@ -113,35 +118,40 @@ def reduce(evaluations_dev, domain_root, options):
     return tree_results, value_results
 
 
-def build_proof(trees, values, positions):
+def build_proof(trees, values, positions, batch=None):
     positions = list(positions)
     domain_size = trees[0].leaves().shape[0] * 4
 
-    # phase 1: enqueue every layer's gathers (openings + queried rows) so
-    # all the device->host copies fly concurrently - a serial loop paid one
-    # ~25 ms tunnel round trip per transfer per layer
-    from ..ops.gather import gather_rows
+    # phase 1: enqueue every layer's gathers (openings + queried rows) into
+    # ONE TransferBatch - the tunneled backend has no effective async host
+    # copy, so per-array fetches cost a blocking ~20 ms round trip each
+    # (measured 316 ms for the ~15 arrays of a 5-layer proof); the batch
+    # collapses them into a single bulk transfer
+    from ..ops.gather import gather_rows_dev
+    from ..ops.hostsync import TransferBatch
+
+    if batch is None:
+        batch = TransferBatch()
 
     pending = []
     for i in range(len(trees) - 1):
         positions = get_augmented_positions(positions, domain_size)
-        rows_dev = gather_rows(values[i], positions)
-        if hasattr(rows_dev, "copy_to_host_async"):
-            rows_dev.copy_to_host_async()
+        rows_dev, _k = gather_rows_dev(values[i], positions)
         pending.append(
-            (trees[i], trees[i].prove_batch_async(positions), rows_dev,
-             len(positions)))
+            (trees[i], trees[i].prove_batch_async(positions, batch=batch),
+             batch.add(rows_dev), len(positions)))
         domain_size //= 4
+    last_ref = batch.add(values[-1])
 
-    # phase 2: materialize
+    # phase 2: one bulk fetch (triggered by the first get), then assemble
     layers = []
-    for tree, pending_proof, rows_dev, n_pos in pending:
+    for tree, pending_proof, rows_ref, n_pos in pending:
         proof = pending_proof.result()
-        rows_host = fj.to_ints(np.asarray(rows_dev))           # (Q, 4) obj
+        rows_host = fj.to_ints(batch.get(rows_ref)[:n_pos])    # (Q, 4) obj
         queried = [[int(v) for v in rows_host[k]] for k in range(n_pos)]
         layers.append(FriLayer(tree.root(), queried, proof.nodes, proof.depth))
 
-    last_values = fj.to_ints(np.asarray(values[-1]))  # (q, 4) object
+    last_values = fj.to_ints(batch.get(last_ref))     # (q, 4) object
     q = last_values.shape[0]
     remainder = [0] * (q * 4)
     for i in range(q):

@@ -113,11 +113,23 @@ def prove(trace, inputs, outputs, options):
     now = time.time()
     # enqueue the trace/constraint tree openings FIRST so their transfers
     # overlap the FRI layer gathers below
+    from ..ops.hostsync import TransferBatch
+
+    batch = TransferBatch()  # one bulk device->host fetch for all of step 9
     constraint_positions = utils.map_trace_to_constraint_positions(positions)
-    trace_opening = trace_tree.prove_batch_async(positions)
-    constraint_opening = constraint_tree.prove_batch_async(constraint_positions)
-    fri_proof = fri.build_proof(fri_trees, fri_values, positions)
-    trace_evaluations = trace.get_register_values_at(positions)
+    trace_opening = trace_tree.prove_batch_async(positions, batch=batch)
+    constraint_opening = constraint_tree.prove_batch_async(
+        constraint_positions, batch=batch)
+    t_enq = time.time()
+    trace_eval_pending = trace.get_register_values_at_async(positions, batch)
+    t_evals_enq = time.time()
+    fri_proof = fri.build_proof(fri_trees, fri_values, positions, batch)
+    t_fri = time.time()
+    trace_evaluations = trace_eval_pending()
+    log.debug("step 9: openings enqueue %.0f ms, eval enqueue %.0f ms, "
+              "fri proof %.0f ms, eval fetch %.0f ms",
+              (t_enq - now) * 1000, (t_evals_enq - t_enq) * 1000,
+              (t_fri - t_evals_enq) * 1000, (time.time() - t_fri) * 1000)
 
     proof = StarkProof(
         trace_tree.root(),
@@ -142,8 +154,15 @@ def prove(trace, inputs, outputs, options):
 # step 3: columnar constraint evaluation
 # ------------------------------------------------------------------------------------------------
 
-def _evaluate_constraints_columnar(evaluator, trace, debug_check=True):
+def _evaluate_constraints_columnar(evaluator, trace, debug_check=None):
     from .. import native
+
+    if debug_check is None:
+        # the transition-satisfaction self-check mirrors the reference's
+        # debug_assert! sweep (evaluator.rs:108-116): a debug aid, skipped
+        # in release - it costs a device reduction + a blocking fetch on
+        # the hot path, and prover correctness is established by verify()
+        debug_check = os.environ.get("DISTAFF_DEBUG", "0") != "0"
 
     stride = trace.extension_factor // MAX_CONSTRAINT_DEGREE
     n_ev = evaluator.domain_size
@@ -579,12 +598,17 @@ def _build_constraint_tree(constraint_lde, hash_name):
     leaves are the evaluation bytes themselves (reference prover.rs:84-86)."""
     if hash_name == "blake3" and os.environ.get("DISTAFF_DEVICE_HASH", "1") != "0":
         from ..crypto.merkle_dev import make_device_tree
-        # (D, 4) -> (D/2, 8) leaves by stacking even/odd limb slices: the
-        # direct reshape is lowered as a copy into a T(8,128)-padded layout
-        # (32x HBM) at 2^25-element domains
-        leaves = jnp.stack(
-            [constraint_lde[0::2, l] for l in range(4)]
-            + [constraint_lde[1::2, l] for l in range(4)], axis=1)
+        # (D, 4) -> (D/2, 8) leaves: the direct reshape is lowered as a copy
+        # into a T(8,128)-padded layout (32x HBM) - catastrophic at
+        # 2^25-element domains, but a sub-ms copy for small domains where
+        # the 8-slice stack's eager dispatches dominate instead
+        d = constraint_lde.shape[0]
+        if d <= 1 << 17:
+            leaves = constraint_lde.reshape(d // 2, 8)
+        else:
+            leaves = jnp.stack(
+                [constraint_lde[0::2, l] for l in range(4)]
+                + [constraint_lde[1::2, l] for l in range(4)], axis=1)
         return make_device_tree(leaves)
     arr = np.ascontiguousarray(np.asarray(constraint_lde))  # (D, 4) u32
     leaves_bytes = arr.reshape(arr.shape[0] // 2, 8).view(np.uint8)  # (D/2, 32)
@@ -616,11 +640,15 @@ def _poly_eval_tile_multi(polys_chunk, ps):
     return fj.sum_reduce(prod, axis=2)
 
 
-def _poly_eval_rows_multi(polys, x_ints):
-    """T_r(x_p) for every register row r and every point p: returns a
-    (P, R) list-of-lists of host ints.  Replaces P sequential single-point
-    sweeps (each paying per-tile host-constant transfers - ~25 ms of tunnel
-    latency apiece) with two bulk transfers and pure device dispatches."""
+def _poly_eval_rows_multi_async(polys, x_ints, batch=None):
+    """Enqueue T_r(x_p) for every register row r and every point p; returns
+    a zero-arg closure producing the (P, R) list-of-lists of host ints.
+    All device work and device->host copies START here, so callers can
+    overlap the evaluation with other host-side assembly (step 9 overlaps
+    the query-row dots with the FRI proof walks).  Replaces P sequential
+    single-point sweeps (each paying per-tile host-constant transfers -
+    ~25 ms of tunnel latency apiece) with bulk transfers and pure device
+    dispatches."""
     from ..ops import tiles
 
     r, length = polys.shape[0], polys.shape[1]
@@ -641,9 +669,9 @@ def _poly_eval_rows_multi(polys, x_ints):
         [[pow(x, lo, M) for lo in range(0, length, t)] for x in xs_padded],
         dtype=object))                                               # (P', T#, 4)
 
-    results = []                                                     # (P', R)
+    pending = []                                                     # (PC, R', 4)
     for plo in range(0, len(xs_padded), pc):
-        totals = None                                                # (PC, R', 4)
+        totals = None
         for ti, lo in enumerate(range(0, length, t)):
             width = min(t, length - lo)
             ps = _ps_points(bases_all[plo : plo + pc],
@@ -663,10 +691,28 @@ def _poly_eval_rows_multi(polys, x_ints):
             col = (col_parts[0] if len(col_parts) == 1
                    else jnp.concatenate(col_parts, axis=1))
             totals = col if totals is None else fj.add(totals, col)
-        ints = fj.to_ints(np.asarray(totals))                        # (PC, R')
-        for k in range(pc):
-            results.append([int(v) for v in ints[k][:r]])
-    return results[:p_total]
+        if batch is not None:
+            pending.append(batch.add(totals))
+        else:
+            if hasattr(totals, "copy_to_host_async"):
+                totals.copy_to_host_async()
+            pending.append(totals)
+
+    def result():
+        results = []                                                 # (P', R)
+        for totals in pending:
+            host = batch.get(totals) if batch is not None else np.asarray(totals)
+            ints = fj.to_ints(host)                                  # (PC, R')
+            for k in range(pc):
+                results.append([int(v) for v in ints[k][:r]])
+        return results[:p_total]
+
+    return result
+
+
+def _poly_eval_rows_multi(polys, x_ints):
+    """Synchronous _poly_eval_rows_multi_async."""
+    return _poly_eval_rows_multi_async(polys, x_ints)()
 
 
 def _poly_eval_rows(polys, x_int):

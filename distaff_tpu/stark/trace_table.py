@@ -293,10 +293,19 @@ class TraceTable:
             from ..parallel import ntt_sharded as ns
             from ..parallel import mesh_stages
 
-        cv = b3.absorb_begin(domain)
+        # the absorb kernel's working set is ~6x the lane bytes ((16, part)
+        # message stack + 16 SSA state lanes + fori_loop double-buffering),
+        # so at 2^25-row domains it runs in fixed-size domain PARTS next to
+        # the NTT chain instead of one whole-domain dispatch (which OOMed a
+        # 16 GB chip); parts are row-independent, so values are unchanged
+        import os
+        part = min(domain,
+                   int(os.environ.get("DISTAFF_ABSORB_PART_ROWS", 1 << 23)))
+        n_parts = domain // part
+        cv_parts = [b3.absorb_begin(part) for _ in range(n_parts)]
         slice_parts = []
         staged = []  # up to 4 single-register (1, D, 4) LDEs = one 64B block
-        chunk_cvs = []  # finished chunk chaining values (>64-register rows)
+        chunk_cvs = []  # per part: finished chunk CVs (>64-register rows)
 
         n_blocks = (r_count + 3) // 4
         n_chunks = (n_blocks + 15) // 16  # 16 blocks = one 1024-byte chunk
@@ -327,23 +336,29 @@ class TraceTable:
                 last_overall = bi == n_blocks - 1
                 last_in_chunk = (bi % 16) == 15 or last_overall
                 blen = byte_len - 64 * (n_blocks - 1) if last_overall else 64
-                cv = b3.absorb_block(
-                    cv, staged[0], staged[1], staged[2], staged[3],
-                    (bi % 16) == 0, last_in_chunk,
-                    last_overall and n_chunks == 1, blen, bi // 16)
+                for pi in range(n_parts):
+                    regs4 = [jax.lax.dynamic_slice_in_dim(
+                        s, pi * part, part, axis=0) for s in staged]
+                    cv_parts[pi] = b3.absorb_block(
+                        cv_parts[pi], regs4[0], regs4[1], regs4[2], regs4[3],
+                        (bi % 16) == 0, last_in_chunk,
+                        last_overall and n_chunks == 1, blen, bi // 16)
                 staged = []
                 if last_in_chunk and n_chunks > 1:
-                    chunk_cvs.append(cv)
+                    chunk_cvs.append(list(cv_parts))
                     if not last_overall:
-                        cv = b3.absorb_begin(domain)
-                np.asarray(cv[0, :1])
+                        cv_parts = [b3.absorb_begin(part)
+                                    for _ in range(n_parts)]
+                np.asarray(cv_parts[-1][0, :1])
 
         self.lde_stride_dev = jnp.concatenate(slice_parts)
         if n_chunks == 1:
-            self._leaf_digests = b3.absorb_finish(cv)
+            digests = [b3.absorb_finish(cv) for cv in cv_parts]
         else:
-            self._leaf_digests = b3.parent_root(
-                chunk_cvs[0], chunk_cvs[1]).T
+            digests = [b3.parent_root(c0, c1).T
+                       for c0, c1 in zip(chunk_cvs[0], chunk_cvs[1])]
+        self._leaf_digests = (digests[0] if n_parts == 1
+                              else jnp.concatenate(digests))
 
     def build_merkle_tree(self, hash_name):
         import os
@@ -378,24 +393,44 @@ class TraceTable:
             )
         return MerkleTree(leaves, hash_name)
 
-    def get_register_values_at(self, positions):
-        """Rows of the extended trace at the given positions (host ints):
-        one bucketed gather + transfer instead of a round-trip per position."""
+    def get_register_values_at_async(self, positions, batch=None):
+        """Enqueue the extended-trace rows at the given positions; returns a
+        zero-arg closure producing the host-int rows.  Device work starts
+        immediately and the results ride the caller's TransferBatch (or a
+        direct copy), so step 9 overlaps these with the FRI proof
+        assembly."""
         if self.streaming:
             # no LDE to gather from: evaluate every register poly directly
             # at x = g^p for each queried position (identical values - the
             # LDE rows ARE those evaluations), all positions in one batched
             # multi-point sweep
-            from .prover import _poly_eval_rows_multi
+            from .prover import _poly_eval_rows_multi_async
             root = field.get_root_of_unity(self.domain_size())
-            return _poly_eval_rows_multi(
+            return _poly_eval_rows_multi_async(
                 self.polys_dev,
-                [field.exp(root, int(p)) for p in positions])
-        from ..ops.gather import gather_rows
-        rows = gather_rows(self.lde_dev, list(positions), axis=1)  # (R, Q, 4)
-        ints = fj.to_ints(rows)                      # (R, Q) object
-        return [[int(ints[r][q]) for r in range(ints.shape[0])]
-                for q in range(ints.shape[1])]
+                [field.exp(root, int(p)) for p in positions], batch)
+        from ..ops.gather import gather_rows_dev
+        rows, k = gather_rows_dev(
+            self.lde_dev, list(positions), axis=1)   # (R, Q', 4) device
+        if batch is not None:
+            ref = batch.add(rows)
+            fetch = lambda: batch.get(ref)  # noqa: E731
+        else:
+            if hasattr(rows, "copy_to_host_async"):
+                rows.copy_to_host_async()
+            fetch = lambda: np.asarray(rows)  # noqa: E731
+
+        def result():
+            ints = fj.to_ints(fetch()[:, :k])        # (R, Q) object
+            return [[int(ints[r][q]) for r in range(ints.shape[0])]
+                    for q in range(ints.shape[1])]
+
+        return result
+
+    def get_register_values_at(self, positions):
+        """Rows of the extended trace at the given positions (host ints):
+        one bucketed gather + transfer instead of a round-trip per position."""
+        return self.get_register_values_at_async(positions)()
 
     def eval_polys_at(self, z):
         """T_i(z) for all registers (device dot with the power series of z)."""

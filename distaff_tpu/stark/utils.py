@@ -155,6 +155,10 @@ def find_pow_nonce(seed: bytes, options):
     hash_name = options.hash_fn
 
     if hash_name == "blake3":
+        # geometric batch growth: the expected scan for grinding factor g is
+        # 2^g hashes (~1M at the default 20), so later batches grow to
+        # amortize the per-batch python/native round trip while the first
+        # batch stays small enough not to overshoot easy seeds
         batch = 1 << 15
         base = 1
         while True:
@@ -172,6 +176,7 @@ def find_pow_nonce(seed: bytes, options):
                 digest = digests[hits[0]].tobytes()
                 return digest, nonce
             base += batch
+            batch = min(batch * 2, 1 << 18)
     else:
         hash_fn = hashes.HASH_FUNCTIONS[hash_name]
         nonce = 0

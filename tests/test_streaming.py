@@ -61,6 +61,27 @@ def test_stream_commit_matches_materialized(traces):
             == stream.build_merkle_tree("blake3").root())
 
 
+def test_stream_commit_partitioned_absorb_matches(traces, monkeypatch):
+    """The domain-partitioned absorb (DISTAFF_ABSORB_PART_ROWS, the 2^25-row
+    HBM guard) must produce the same leaf digests as the whole-domain pass -
+    parts are row-independent, so this pins the bookkeeping (power-of-two
+    part sizes only)."""
+    plain, stream = traces
+    program = assembly.compile("begin repeat.8 swap dup.2 drop add end end")
+    inputs = ProgramInputs.from_public([1, 0])
+    regs, ctx_depth, loop_depth = vm_execute(program, inputs)
+
+    monkeypatch.setenv("DISTAFF_ABSORB_PART_ROWS", "256")
+    parted = TraceTable(regs, ctx_depth, loop_depth, 16)
+    parted.extend()
+    parted.streaming = True
+    parted.lde_dev = None
+    parted._stream_commit()
+    assert parted.domain_size() // 256 > 1  # actually multi-part
+    assert (np.asarray(parted._leaf_digests)
+            == np.asarray(stream._leaf_digests)).all()
+
+
 def test_stream_query_rows_match(traces):
     plain, stream = traces
     positions = [1, 7, 30, 101, plain.domain_size() - 2]

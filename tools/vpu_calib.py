@@ -86,11 +86,14 @@ def main():
           f"-> {n*KM/t/1e9:.3f} G muls/s "
           f"({3.85e12*t/(n*KM):.0f} effective u32 ops/mul at 3.85T)")
 
-    # 4. canonical Pease kernel at the production shape (64, 2^15)
-    W = tiles._stage_table(tiles.NCAP, field.get_root_of_unity(tiles.NCAP))
+    # 4. canonical Pease kernels at the production shape (64, 2^15)
+    root_cap = field.get_root_of_unity(tiles.NCAP)
+    W = tiles._stage_table(tiles.NCAP, root_cap)
+    Wh = tiles._stage_table2(tiles.NCAP, root_cap)
     cb = max(1, tiles.CANON_ELEMS // tiles.NCAP)
     xb = jnp.asarray(rng.integers(0, 2**32, size=(cb, tiles.NCAP, 4),
                                   dtype=np.uint64).astype(np.uint32))
+    bf = cb * (tiles.NCAP // 2) * (tiles.NCAP.bit_length() - 1)
 
     def pease_chain():
         y = xb
@@ -99,8 +102,17 @@ def main():
         _sync(y)
 
     t = _time(pease_chain) / 8
-    bf = cb * (tiles.NCAP // 2) * (tiles.NCAP.bit_length() - 1)
     print(f"_pease_tile ({cb}, {tiles.NCAP}): {t*1e3:.2f} ms "
+          f"-> {bf/t/1e9:.3f} G butterflies/s")
+
+    def pease2_chain():
+        y = xb
+        for _ in range(8):
+            y = tiles._pease_tile2(y, W, Wh, tiles.NCAP)
+        _sync(y)
+
+    t = _time(pease2_chain) / 8
+    print(f"_pease_tile2 ({cb}, {tiles.NCAP}): {t*1e3:.2f} ms "
           f"-> {bf/t/1e9:.3f} G butterflies/s")
 
     # 5. HBM streaming bound probe: pure copy chain
