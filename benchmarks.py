@@ -193,8 +193,11 @@ def main():
 
     # canonical per-size Pease kernel at the production shape
     # (CANON_ELEMS/NCAP, NCAP) - the executable every ladder rung's
-    # transforms actually dispatch (ops/tiles._pease_tile)
-    W = tiles._stage_table(tiles.NCAP, field.get_root_of_unity(tiles.NCAP))
+    # transforms actually dispatch (ops/tiles._pease_tile2, the 2-level
+    # fused stage kernel)
+    root_cap = field.get_root_of_unity(tiles.NCAP)
+    W = tiles._stage_table(tiles.NCAP, root_cap)
+    Wh = tiles._stage_table2(tiles.NCAP, root_cap)
     cbp = max(1, tiles.CANON_ELEMS // tiles.NCAP)
     xp = jax.numpy.asarray(
         np.random.default_rng(2).integers(
@@ -204,7 +207,7 @@ def main():
     def pease_chain():
         y = xp
         for _ in range(8):
-            y = tiles._pease_tile(y, W, tiles.NCAP)
+            y = tiles._pease_tile2(y, W, Wh, tiles.NCAP)
         _sync(y)
 
     pease_chain()
