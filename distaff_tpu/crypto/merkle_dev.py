@@ -24,7 +24,10 @@ from ..ops.blake3_jax import hash_rows_u32
 # SUBTREE-leaf device subtrees plus a host-hashed cap so the device kernel
 # compiles once for every tree size (see ops/tiles.py module docstring)
 SUBTREE = int(os.environ.get("DISTAFF_MERKLE_SUBTREE", 1 << 12))
-_SGROUP = int(os.environ.get("DISTAFF_MERKLE_SGROUP", 8))
+# subtrees per dispatch: a 2^25-leaf tree has 8192 subtrees, and at the
+# former group of 8 the build issued ~1024 tiny (1 MB) dispatches - ~3 s of
+# pure dispatch overhead over the tunnel at the 2^20 north star
+_SGROUP = int(os.environ.get("DISTAFF_MERKLE_SGROUP", 64))
 
 
 @jax.jit
