@@ -82,6 +82,17 @@ def initialize_distributed():
         return False
     import jax
 
+    # multi-process CPU (the virtual-mesh validation path) needs a
+    # cross-process collectives implementation: without it every process
+    # builds a LOCAL cpu client and process_count() stays 1 even though
+    # the coordination service is up (observed: two joined processes each
+    # reporting "1 process(es)")
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:  # noqa: BLE001 - older jax: flag absent
+            pass
+
     if coord:
         nproc = os.environ.get("DISTAFF_NUM_PROCESSES")
         pid = os.environ.get("DISTAFF_PROCESS_ID")

@@ -31,6 +31,20 @@ Single-process smoke test (exercises the full entry path end-to-end):
     DISTAFF_PROCESS_ID=0 JAX_PLATFORMS=cpu \
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \
     python tools/multihost_prove.py 6 --bench
+
+Validated state of the >= 2-process path (2026-08-22, two local CPU
+processes): jax_setup.initialize_distributed rendezvouses both processes
+and - with the gloo CPU-collectives backend it now enables - they form ONE
+global client (process_count()==2, global mesh over both processes'
+devices) and the sharded compute stages launch.  The remaining gap to a
+full cross-process proof is HOST-side: the prover's transcript fetches
+(tree roots, openings, query rows) call np.asarray on globally-sharded
+arrays, which multi-process JAX rejects for non-addressable shards - each
+such fetch needs jax.experimental.multihost_utils.process_allgather (or a
+replicate-before-fetch reshard).  Single-controller meshes (the virtual
+8-device CPU mesh and real multi-chip slices under one host) are
+unaffected - all devices are addressable there, and
+tests/test_sharded.py's byte-identity proofs cover them.
 """
 
 import argparse
