@@ -237,6 +237,7 @@ def main():
             try:
                 program = fibonacci_program(assembly, l2)
                 best = None
+                runs = 0
                 for _ in range(2):
                     t0 = time.time()
                     outputs, proof = distaff_tpu.execute(
@@ -246,13 +247,23 @@ def main():
                         program.hash, inputs.get_public_inputs(), outputs,
                         proof)
                     best = el if best is None else min(best, el)
+                    runs += 1
                     if _remaining() < 15.0:
                         break
-                extras[f"2^{l2}"] = {
-                    "seconds": round(best, 3),
-                    "vs_baseline": round(BASELINES[l2] / best, 3)}
-                print(f"# small rung 2^{l2}: {best:.2f}s "
-                      f"(baseline {BASELINES[l2]}s)", file=sys.stderr)
+                # a small rung's FIRST in-process run pays this geometry's
+                # executable loads (measured 60-170 s over the tunnel after
+                # a 2^20 rung) and says nothing about proving speed - only
+                # record when the steady re-run landed
+                if runs >= 2:
+                    extras[f"2^{l2}"] = {
+                        "seconds": round(best, 3),
+                        "vs_baseline": round(BASELINES[l2] / best, 3)}
+                    print(f"# small rung 2^{l2}: {best:.2f}s "
+                          f"(baseline {BASELINES[l2]}s)", file=sys.stderr)
+                else:
+                    print(f"# small rung 2^{l2}: loads-only first pass "
+                          f"{best:.2f}s, no budget for a steady re-run; "
+                          f"not recorded", file=sys.stderr)
             except BaseException:  # noqa: BLE001
                 break
         if extras:
