@@ -58,12 +58,15 @@ def _record(log2_trace, elapsed, warm):
         # the budget only fits one more large rung)
         if log2_trace >= _best_size:
             _best_size = log2_trace
+            small = (_best or {}).get("small_rungs")
             _best = {
                 "metric": f"fibonacci_2^{log2_trace}_step_trace_proof_gen_wall_time",
                 "value": round(elapsed, 3),
                 "unit": "seconds",
                 "vs_baseline": round(baseline / elapsed, 4) if baseline else 0,
             }
+            if small:
+                _best["small_rungs"] = small
     print(f"# 2^{log2_trace}: {elapsed:.2f}s steady (warm-up incl. compile "
           f"{warm:.1f}s); baseline {baseline}s", file=sys.stderr)
 
@@ -216,8 +219,57 @@ def main():
             print(f"# adaptive ladder: remaining {budget:.0f}s -> "
                   f"{planned or 'nothing'} (costs "
                   f"{[round(cost(l2)) for l2 in rest]})", file=sys.stderr)
+        extras = {}
+
+        def run_small_rungs(time_guard):
+            """Record the reference's SMALL rows (README.md:151-153: 0.35 s /
+            1.0 s at 2^10 / 2^12).  A small rung's FIRST in-process run pays
+            its geometry's executable loads (measured 60-170 s over the
+            tunnel when run after a 2^20 rung) and says nothing about proving
+            speed, so a rung is only recorded when a steady re-run landed;
+            time_guard bounds the remaining budget a rung may start with."""
+            for l2 in (12, 10):
+                if l2 in extras or _remaining() < time_guard:
+                    continue
+                try:
+                    program = fibonacci_program(assembly, l2)
+                    best = None
+                    runs = 0
+                    for _ in range(2):
+                        t0 = time.time()
+                        outputs, proof = distaff_tpu.execute(
+                            program, inputs, 1, options)
+                        el = time.time() - t0
+                        assert distaff_tpu.verify(
+                            program.hash, inputs.get_public_inputs(), outputs,
+                            proof)
+                        best = el if best is None else min(best, el)
+                        runs += 1
+                        if _remaining() < 15.0:
+                            break
+                    if runs >= 2:
+                        extras[f"2^{l2}"] = {
+                            "seconds": round(best, 3),
+                            "vs_baseline": round(BASELINES[l2] / best, 3)}
+                        with _lock:
+                            if _best is not None:
+                                _best["small_rungs"] = dict(extras)
+                        print(f"# small rung 2^{l2}: {best:.2f}s "
+                              f"(baseline {BASELINES[l2]}s)", file=sys.stderr)
+                    else:
+                        print(f"# small rung 2^{l2}: loads-only first pass "
+                              f"{best:.2f}s, no budget for a steady re-run; "
+                              f"not recorded", file=sys.stderr)
+                except BaseException:  # noqa: BLE001
+                    break
+
         prev = probe_elapsed
         for l2 in planned:
+            if l2 >= 20 and _remaining() > cost(l2) + 100.0:
+                # fit the small rows in BEFORE the memory-heavy streaming
+                # rung: loads cost ~60 s here vs ~170 s after 2^20, and the
+                # +100 s guard keeps the headline rung safe either way
+                run_small_rungs(cost(l2) + 90.0)
             if _remaining() < cost(l2):
                 print(f"# skipping 2^{l2}: predicted {cost(l2):.0f}s > "
                       f"remaining {_remaining():.0f}s", file=sys.stderr)
@@ -226,46 +278,8 @@ def main():
             if prev is None:
                 break
 
-        # leftover budget: record the reference's SMALL rows too (its
-        # README.md:151-153 publishes 0.35 s / 1.0 s at 2^10 / 2^12) -
-        # every transform executable is already warm, so each rung costs
-        # seconds; re-run once for a steady number when budget allows
-        extras = {}
-        for l2 in (12, 10):
-            if _remaining() < 25.0:
-                break
-            try:
-                program = fibonacci_program(assembly, l2)
-                best = None
-                runs = 0
-                for _ in range(2):
-                    t0 = time.time()
-                    outputs, proof = distaff_tpu.execute(
-                        program, inputs, 1, options)
-                    el = time.time() - t0
-                    assert distaff_tpu.verify(
-                        program.hash, inputs.get_public_inputs(), outputs,
-                        proof)
-                    best = el if best is None else min(best, el)
-                    runs += 1
-                    if _remaining() < 15.0:
-                        break
-                # a small rung's FIRST in-process run pays this geometry's
-                # executable loads (measured 60-170 s over the tunnel after
-                # a 2^20 rung) and says nothing about proving speed - only
-                # record when the steady re-run landed
-                if runs >= 2:
-                    extras[f"2^{l2}"] = {
-                        "seconds": round(best, 3),
-                        "vs_baseline": round(BASELINES[l2] / best, 3)}
-                    print(f"# small rung 2^{l2}: {best:.2f}s "
-                          f"(baseline {BASELINES[l2]}s)", file=sys.stderr)
-                else:
-                    print(f"# small rung 2^{l2}: loads-only first pass "
-                          f"{best:.2f}s, no budget for a steady re-run; "
-                          f"not recorded", file=sys.stderr)
-            except BaseException:  # noqa: BLE001
-                break
+        # leftover budget: pick up any small row not already recorded
+        run_small_rungs(25.0)
         if extras:
             with _lock:
                 if _best is not None:
