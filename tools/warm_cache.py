@@ -5,7 +5,7 @@ take minutes per kernel under load; the persistent cache
 (distaff_tpu.jax_setup) makes every later process load executables in seconds
 instead.  Run this once after changing any device-path code:
 
-    python tools/warm_cache.py [log2_sizes ...]      # default: 16 18 20
+    python tools/warm_cache.py [log2_sizes ...]      # default: 16 18 20 12 10
 """
 
 import sys
@@ -33,6 +33,6 @@ def warm(log2_trace):
 
 
 if __name__ == "__main__":
-    sizes = [int(a) for a in sys.argv[1:]] or [16, 18, 20]
+    sizes = [int(a) for a in sys.argv[1:]] or [16, 18, 20, 12, 10]
     for s in sizes:
         warm(s)
