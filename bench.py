@@ -184,7 +184,11 @@ def main():
             return None
         elapsed = warm
         _record(log2_trace, elapsed, warm)
-        if _remaining() > max(45.0, rerun_estimate or warm + 10.0):
+        # attempt the steady re-run whenever ANY budget remains: the warm
+        # number is already recorded, so a watchdog fire mid-re-run loses
+        # nothing, while a warm pass inflated by executable loads (measured
+        # 156 s vs 43 s steady at 2^20) must not block the honest number
+        if _remaining() > max(25.0, rerun_estimate or 0.0):
             try:
                 t0 = time.time()
                 outputs, proof = distaff_tpu.execute(program, inputs, 1, options)
@@ -229,7 +233,7 @@ def main():
             speed, so a rung is only recorded when a steady re-run landed;
             time_guard bounds the remaining budget a rung may start with."""
             for l2 in (12, 10):
-                if l2 in extras or _remaining() < time_guard:
+                if f"2^{l2}" in extras or _remaining() < time_guard:
                     continue
                 try:
                     program = fibonacci_program(assembly, l2)
